@@ -1,0 +1,240 @@
+"""Typed configuration system with named presets.
+
+The reference (laomao0/BIN) drives experiments through argparse flags +
+per-experiment config files + shell scripts (SURVEY.md §2 L6, provenance [R]).
+Here the equivalent is a frozen dataclass tree with named presets; the five
+presets mirror the driver's config ladder (BASELINE.json:6-12):
+
+  1. config1_backbone_128   single pyramid-level backbone, 4-frame clip,
+                            128x128 crop, fp32 (CPU-friendly smoke scale)
+  2. config2_pyramid        full 2-level pyramid (no recurrence), 640x352 eval
+  3. config3_prf            + inter-pyramid ConvLSTM over 11-frame sequences
+  4. config4_gopro_720p     GoPro 1280x720 full-sequence joint deblur+interp
+  5. config5_v5e_streaming  batched multi-clip 720p streaming inference +
+                            data-parallel training on a v5e slice (bf16)
+
+CLI override layer: any leaf may be overridden with dotted-path strings,
+e.g. ``train.py --preset config3_prf --set model.base_features=32``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the pyramid / recurrent model (SURVEY.md §4.4)."""
+
+    name: str = "prf"              # "backbone" | "pyramid" | "prf"
+    num_levels: int = 2            # pyramid depth (levels beyond inputs)
+    window_size: int = 4           # blurry key frames per sliding window
+    base_features: int = 64        # channels at full resolution
+    channel_mult: tuple[int, ...] = (1, 2, 4)  # per encoder scale
+    num_res_blocks: int = 4        # residual blocks at the bottleneck
+    lrelu_slope: float = 0.1
+    convlstm_features: int = 256   # hidden channels of the inter-pyramid ConvLSTM
+    use_convlstm: bool = True      # PRF recurrence on/off (off = plain BIN)
+    cycle_level: bool = True       # extra top level that re-predicts the centre
+                                   # frame for the cycle-consistency loss
+    dtype: str = "float32"         # compute dtype ("float32" | "bfloat16")
+    param_dtype: str = "float32"   # master weights always fp32
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Multi-frame Charbonnier + cycle(+perceptual) schedule (SURVEY.md §3.2)."""
+
+    charbonnier_eps: float = 1e-6
+    level_weights: tuple[float, ...] = (1.0, 1.0, 1.0)  # per pyramid level
+    cycle_weight: float = 0.1
+    perceptual_weight: float = 0.0  # gradient-domain perceptual term (no VGG
+                                    # weights available offline; see losses.py)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Adobe240/GoPro-style frame-folder pipeline (SURVEY.md §3.2, §4.3)."""
+
+    dataset: str = "synthetic"     # "synthetic" | "adobe240" | "gopro"
+    root: str = ""                 # frame-folder tree root (blurry/ + sharp/)
+    crop_size: tuple[int, int] = (128, 128)   # train crop (H, W)
+    eval_size: tuple[int, int] = (352, 640)   # eval resolution (H, W)
+    seq_len: int = 4               # key frames per training sample
+    batch_size: int = 8
+    blur_taps: int = 11            # sharp frames averaged into one blurry frame
+    blur_stride: int = 8           # stride between blurry frames (240fps->30fps)
+    random_flip: bool = True
+    num_workers: int = 0           # single host CPU core: keep loader in-process
+    prefetch: int = 2
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Adam + step decay, matching the reference recipe (SURVEY.md §4.1)."""
+
+    learning_rate: float = 1e-4
+    beta1: float = 0.9
+    beta2: float = 0.999
+    weight_decay: float = 0.0
+    lr_decay_steps: int = 50_000
+    lr_decay_rate: float = 0.5
+    grad_clip_norm: float = 1.0
+    num_steps: int = 200_000
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Sharding over a TPU mesh (SURVEY.md §6.8).
+
+    The reference's only distribution story is single-process
+    ``nn.DataParallel``; the TPU-native upgrade is an SPMD mesh:
+    batch sharded over ``data``, params replicated, gradient all-reduce
+    riding ICI.  ``spatial`` optionally shards activation height for
+    720p+ convs (XLA inserts halo exchanges).
+    """
+
+    data_axis_size: int = 1        # -1 = all available devices
+    spatial_axis_size: int = 1
+    axis_names: tuple[str, str] = ("data", "spatial")
+
+
+@dataclass(frozen=True)
+class CheckpointConfig:
+    """Orbax checkpointing (reference: torch.save per epoch, SURVEY.md §6.4)."""
+
+    directory: str = "checkpoints"
+    save_interval_steps: int = 1000
+    keep_last_n: int = 3
+    async_save: bool = True
+
+
+@dataclass(frozen=True)
+class LogConfig:
+    jsonl_path: str = "metrics.jsonl"
+    log_interval_steps: int = 50
+    profile_dir: str = ""          # non-empty => jax.profiler traces
+
+
+@dataclass(frozen=True)
+class Config:
+    preset: str = "custom"
+    seed: int = 0
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
+    log: LogConfig = field(default_factory=LogConfig)
+
+
+def _override(cfg: Any, path: str, value: Any) -> Any:
+    """Return a copy of ``cfg`` with the dotted-path leaf replaced."""
+    head, _, rest = path.partition(".")
+    if not hasattr(cfg, head):
+        raise KeyError(f"config has no field {head!r} (path {path!r})")
+    if rest:
+        child = _override(getattr(cfg, head), rest, value)
+        return dataclasses.replace(cfg, **{head: child})
+    current = getattr(cfg, head)
+    if current is not None and not isinstance(value, type(current)):
+        if isinstance(current, bool):
+            value = str(value).lower() in ("1", "true", "yes")
+        elif isinstance(current, (int, float)):
+            value = type(current)(value)
+        elif isinstance(current, tuple):
+            sep = [v for v in str(value).replace("(", "").replace(")", "").split(",") if v]
+            elem = type(current[0]) if current else int
+            value = tuple(elem(v) for v in sep)
+    return dataclasses.replace(cfg, **{head: value})
+
+
+def apply_overrides(cfg: Config, overrides: dict[str, Any] | list[str]) -> Config:
+    """Apply ``{"model.base_features": 32}`` or ``["model.base_features=32"]``."""
+    if isinstance(overrides, list):
+        bad = [s for s in overrides if "=" not in s]
+        if bad:
+            raise ValueError(f"overrides must be KEY=VALUE, got {bad}")
+        overrides = dict(s.split("=", 1) for s in overrides)
+    for path, value in overrides.items():
+        cfg = _override(cfg, path, value)
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Named presets — the driver's five-config ladder (BASELINE.json:6-12).
+# ---------------------------------------------------------------------------
+
+def config1_backbone_128() -> Config:
+    return Config(
+        preset="config1_backbone_128",
+        model=ModelConfig(name="backbone", num_levels=1, use_convlstm=False,
+                          cycle_level=False, base_features=64),
+        data=DataConfig(crop_size=(128, 128), seq_len=4, batch_size=4),
+        loss=LossConfig(level_weights=(1.0,), cycle_weight=0.0),
+    )
+
+
+def config2_pyramid() -> Config:
+    return Config(
+        preset="config2_pyramid",
+        model=ModelConfig(name="pyramid", num_levels=2, use_convlstm=False,
+                          cycle_level=True),
+        data=DataConfig(crop_size=(128, 128), eval_size=(352, 640),
+                        seq_len=4, batch_size=8),
+        loss=LossConfig(level_weights=(1.0, 1.0, 1.0), cycle_weight=0.1),
+    )
+
+
+def config3_prf() -> Config:
+    return Config(
+        preset="config3_prf",
+        model=ModelConfig(name="prf", num_levels=2, use_convlstm=True,
+                          cycle_level=True),
+        # 11 sharp GT timestamps <=> 6 blurry key frames <=> 2 window steps
+        data=DataConfig(crop_size=(128, 128), eval_size=(352, 640),
+                        seq_len=6, batch_size=4),
+        loss=LossConfig(level_weights=(1.0, 1.0, 1.0), cycle_weight=0.1),
+    )
+
+
+def config4_gopro_720p() -> Config:
+    return Config(
+        preset="config4_gopro_720p",
+        model=ModelConfig(name="prf", num_levels=2, use_convlstm=True,
+                          cycle_level=True),
+        data=DataConfig(dataset="gopro", crop_size=(128, 128),
+                        eval_size=(720, 1280), seq_len=6, batch_size=4),
+        loss=LossConfig(level_weights=(1.0, 1.0, 1.0), cycle_weight=0.1),
+    )
+
+
+def config5_v5e_streaming() -> Config:
+    return Config(
+        preset="config5_v5e_streaming",
+        model=ModelConfig(name="prf", num_levels=2, use_convlstm=True,
+                          cycle_level=True, dtype="bfloat16"),
+        data=DataConfig(dataset="gopro", crop_size=(128, 128),
+                        eval_size=(720, 1280), seq_len=6, batch_size=8),
+        loss=LossConfig(level_weights=(1.0, 1.0, 1.0), cycle_weight=0.1),
+        parallel=ParallelConfig(data_axis_size=-1),
+    )
+
+
+PRESETS = {
+    fn.__name__: fn
+    for fn in (config1_backbone_128, config2_pyramid, config3_prf,
+               config4_gopro_720p, config5_v5e_streaming)
+}
+
+
+def get_config(preset: str, overrides: list[str] | None = None) -> Config:
+    if preset not in PRESETS:
+        raise KeyError(f"unknown preset {preset!r}; available: {sorted(PRESETS)}")
+    cfg = PRESETS[preset]()
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg

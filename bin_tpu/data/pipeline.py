@@ -1,0 +1,122 @@
+"""Host-side input pipeline: sample sources → cropped, batched device feeds.
+
+Reference equivalent: torch ``Dataset``/``DataLoader`` over pre-extracted PNG
+frame folders with random 128x128 crop + flips for training and full frames
+for eval (SURVEY.md §3.2).  This machine has ONE host CPU core (SURVEY.md §8
+hard part (e)), so the pipeline favors cheap vectorized numpy transforms and
+an in-process prefetch thread over worker processes.
+
+A *source* is any object with:
+  __len__() -> int
+  __getitem__(i) -> {"blurry": (K, H, W, 3) f32, "sharp": (2K-1, H, W, 3) f32}
+
+``SyntheticSource`` procedurally generates samples; ``FrameFolderSource``
+(bin_tpu.data.frames) reads Adobe240/GoPro-layout folder trees.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+from bin_tpu.data import synthetic
+
+__all__ = ["SyntheticSource", "train_iterator", "eval_clips"]
+
+
+class SyntheticSource:
+    """Procedural source of blurry/sharp samples (see synthetic.py)."""
+
+    def __init__(self, num_samples: int, num_keys: int, height: int, width: int,
+                 taps: int = 11, stride: int = 8, seed: int = 0):
+        self.num_samples = num_samples
+        self.num_keys = num_keys
+        self.height = height
+        self.width = width
+        self.taps = taps
+        self.stride = stride
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+    def __getitem__(self, i: int) -> dict[str, np.ndarray]:
+        if not 0 <= i < self.num_samples:
+            raise IndexError(i)
+        return synthetic.make_sample(self.seed * 1_000_003 + i, self.num_keys,
+                                     self.height, self.width, self.taps,
+                                     self.stride)
+
+
+def _random_crop_flip(sample: dict[str, np.ndarray], crop_hw: tuple[int, int],
+                      rng: np.random.Generator, flip: bool) -> dict[str, np.ndarray]:
+    """Shared spatial crop + flip across the blurry/sharp frame stacks."""
+    ch, cw = crop_hw
+    h, w = sample["blurry"].shape[1:3]
+    if h < ch or w < cw:
+        raise ValueError(f"sample {h}x{w} smaller than crop {ch}x{cw}")
+    y0 = int(rng.integers(0, h - ch + 1))
+    x0 = int(rng.integers(0, w - cw + 1))
+    out = {k: v[:, y0:y0 + ch, x0:x0 + cw] for k, v in sample.items()}
+    if flip:
+        if rng.random() < 0.5:
+            out = {k: v[:, :, ::-1] for k, v in out.items()}
+        if rng.random() < 0.5:
+            out = {k: v[:, ::-1] for k, v in out.items()}
+        if rng.random() < 0.5:  # temporal flip: valid, blur is symmetric
+            out = {k: v[::-1] for k, v in out.items()}
+    return {k: np.ascontiguousarray(v) for k, v in out.items()}
+
+
+def train_iterator(source, batch_size: int, crop_size: tuple[int, int],
+                   seed: int = 0, random_flip: bool = True,
+                   prefetch: int = 2) -> Iterator[dict[str, np.ndarray]]:
+    """Infinite iterator of batches {"blurry": (B,K,h,w,3), "sharp": (B,2K-1,h,w,3)}.
+
+    Runs sampling + crop on a background thread with a bounded queue so host
+    preprocessing overlaps device steps (the TPU analog of DataLoader
+    prefetching, sized for a 1-core host).
+    """
+    def produce(q: queue.Queue):
+        try:
+            rng = np.random.Generator(np.random.Philox(seed))
+            n = len(source)
+            while True:
+                idx = rng.integers(0, n, size=batch_size)
+                items = [_random_crop_flip(source[int(i)], crop_size, rng, random_flip)
+                         for i in idx]
+                batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+                q.put(batch)
+        except BaseException as exc:  # propagate to the consumer, don't hang it
+            q.put(exc)
+
+    q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+    thread = threading.Thread(target=produce, args=(q,), daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+def eval_clips(source, batch_size: int = 1) -> Iterator[dict[str, np.ndarray]]:
+    """Deterministic full-frame eval batches, one pass over the source.
+
+    Trailing partial batches are padded by repeating the last clip and a
+    "valid" mask is attached so metrics can ignore padding.
+    """
+    n = len(source)
+    for start in range(0, n, batch_size):
+        idx = list(range(start, min(start + batch_size, n)))
+        valid = np.zeros((batch_size,), dtype=bool)
+        valid[: len(idx)] = True
+        while len(idx) < batch_size:
+            idx.append(idx[-1])
+        items = [source[i] for i in idx]
+        batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        batch["valid"] = valid
+        yield batch
