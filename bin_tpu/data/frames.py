@@ -1,0 +1,106 @@
+"""Frame-folder datasets: the Adobe240/GoPro on-disk layout.
+
+Reference (SURVEY.md §3.2 'Adobe240/GoPro dataset' [R][P]): pre-extracted
+PNG frame folders indexed into sliding windows of blurry key frames with
+sharp GT at keys + midpoints.  Expected tree (produced by
+``bin-tpu-prep`` / bin_tpu.data.blur from raw 240fps frames):
+
+    root/
+      blurry/<clip_id>/000000.png   # 30fps blurry key frames
+      sharp/<clip_id>/000000.png    # 2x-rate sharp GT (2*keys-1 frames,
+                                    # index t = key*2 or midpoint odd t)
+
+``.npy`` frames (H, W, 3 uint8 or float32) are also accepted and preferred
+on this 1-CPU-core host (no PNG decode in the hot path — SURVEY.md §8 hard
+part (e)).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import numpy as np
+
+__all__ = ["FrameFolderSource", "list_clips", "load_frame"]
+
+_EXTS = (".npy", ".png", ".jpg", ".jpeg", ".bmp")
+
+
+def list_clips(root: str, split: str) -> dict[str, list[str]]:
+    """clip_id → ordered frame paths under root/<split>/<clip_id>/."""
+    base = os.path.join(root, split)
+    if not os.path.isdir(base):
+        raise FileNotFoundError(f"dataset folder missing: {base}")
+    clips = {}
+    for clip_id in sorted(os.listdir(base)):
+        d = os.path.join(base, clip_id)
+        if not os.path.isdir(d):
+            continue
+        frames = sorted(f for f in os.listdir(d) if f.lower().endswith(_EXTS))
+        if frames:
+            clips[clip_id] = [os.path.join(d, f) for f in frames]
+    if not clips:
+        raise FileNotFoundError(f"no clips with frames under {base}")
+    return clips
+
+
+def load_frame(path: str) -> np.ndarray:
+    """Load one frame as (H, W, 3) float32 in [0, 1]."""
+    if path.endswith(".npy"):
+        arr = np.load(path)
+    else:
+        from PIL import Image
+        arr = np.asarray(Image.open(path).convert("RGB"))
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 255.0
+    return np.ascontiguousarray(arr.astype(np.float32))
+
+
+class FrameFolderSource:
+    """Sliding-chunk sample source over a blurry/sharp folder tree.
+
+    Each sample is ``num_keys`` consecutive blurry key frames plus their
+    2*num_keys-1 sharp GT frames.  ``chunk_stride`` (in key frames) controls
+    sample overlap; eval uses one whole-clip sample per clip
+    (num_keys=None → full clips).
+    """
+
+    def __init__(self, root: str, num_keys: int | None = 4,
+                 chunk_stride: int = 2, cache_frames: bool = False):
+        self.blurry = list_clips(root, "blurry")
+        self.sharp = list_clips(root, "sharp")
+        missing = set(self.blurry) ^ set(self.sharp)
+        if missing:
+            raise ValueError(f"blurry/sharp clip mismatch: {sorted(missing)[:5]}")
+        self.num_keys = num_keys
+        self._load = lru_cache(maxsize=2048)(load_frame) if cache_frames else load_frame
+
+        self.index: list[tuple[str, int, int]] = []  # (clip, key_start, keys)
+        for clip_id, frames in self.blurry.items():
+            n_keys = len(frames)
+            n_sharp = len(self.sharp[clip_id])
+            usable = min(n_keys, (n_sharp + 1) // 2)
+            if n_sharp != 2 * n_keys - 1:
+                usable = min(usable, (n_sharp + 1) // 2)
+            if num_keys is None:
+                if usable >= 2:
+                    self.index.append((clip_id, 0, usable))
+            else:
+                for start in range(0, usable - num_keys + 1, chunk_stride):
+                    self.index.append((clip_id, start, num_keys))
+        if not self.index:
+            raise ValueError(
+                f"no usable samples (num_keys={num_keys}) under {root}")
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def __getitem__(self, i: int) -> dict[str, np.ndarray]:
+        clip_id, start, keys = self.index[i]
+        b_paths = self.blurry[clip_id][start: start + keys]
+        s_paths = self.sharp[clip_id][2 * start: 2 * start + 2 * keys - 1]
+        return {
+            "blurry": np.stack([self._load(p) for p in b_paths]),
+            "sharp": np.stack([self._load(p) for p in s_paths]),
+        }

@@ -1,0 +1,120 @@
+"""Full-clip evaluation: sliding-window inference + PSNR/SSIM tables.
+
+Reference flow (SURVEY.md §4.2): per video, reset ConvLSTM states, slide the
+window, accumulate PSNR/SSIM on CPU after device→host copies.  TPU-native:
+the whole clip scan AND the metrics run in one jitted program per clip shape
+— only three scalars per clip cross back to the host.  Tables split
+deblurred key frames (even output timestamps) from interpolated midpoints
+(odd timestamps), as the papers report them [P].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bin_tpu.config import Config
+from bin_tpu.metrics import psnr, ssim
+from bin_tpu.models import recurrent
+from bin_tpu.registry import Model, build_model
+
+__all__ = ["evaluate", "evaluate_cli", "clip_metrics_fn"]
+
+
+def clip_metrics_fn(model: Model, num_keys: int):
+    """Jitted (params, blurry, sharp) → per-category (psnr, ssim) means.
+
+    Compiled once per (num_keys, H, W) clip shape; fp32 internally (the
+    0.05 dB parity budget — SURVEY.md §8 parity trap #2).
+    """
+    plan = recurrent.assembly_plan(num_keys, model.cfg.window_size,
+                                   model.num_levels_total)
+    times = np.asarray(sorted(plan))
+    interp_mask = jnp.asarray(times % 2 == 1)
+
+    @jax.jit
+    def fn(params, blurry, sharp):
+        video, _ = model.infer_clip(params, blurry)
+        gt = sharp[:, jnp.asarray(times)]
+        video = jnp.clip(video, 0.0, 1.0)
+        p = psnr(video, gt)            # (B, T)
+        s = ssim(video, gt)
+        def split(x):
+            interp = jnp.sum(x * interp_mask, axis=1) / jnp.sum(interp_mask)
+            n_deblur = x.shape[1] - jnp.sum(interp_mask)
+            deblur = jnp.where(
+                n_deblur > 0,
+                jnp.sum(x * (1 - interp_mask), axis=1) / jnp.maximum(n_deblur, 1),
+                jnp.nan)
+            return {"interp": interp, "deblur": deblur, "overall": jnp.mean(x, axis=1)}
+        return {"psnr": split(p), "ssim": split(s)}
+
+    return fn
+
+
+def evaluate(model: Model, params: Any, clips: Iterable[dict[str, np.ndarray]],
+             verbose: bool = True) -> dict[str, float]:
+    """Aggregate PSNR/SSIM over eval clips.
+
+    clips yield {"blurry": (B,K,H,W,3), "sharp": (B,2K-1,H,W,3),
+    "valid": (B,) optional padding mask}.
+    """
+    fn_cache: dict[tuple, Any] = {}
+    sums: dict[str, float] = {}
+    count = 0
+    for ci, clip in enumerate(clips):
+        key = clip["blurry"].shape[1:4]
+        if key not in fn_cache:
+            fn_cache[key] = clip_metrics_fn(model, clip["blurry"].shape[1])
+        out = jax.device_get(fn_cache[key](params, jnp.asarray(clip["blurry"]),
+                                           jnp.asarray(clip["sharp"])))
+        valid = clip.get("valid", np.ones(clip["blurry"].shape[0], bool))
+        for metric, cats in out.items():
+            for cat, vals in cats.items():
+                vals = np.asarray(vals)[valid]
+                vals = vals[np.isfinite(vals)]  # NaN = category absent (e.g.
+                if vals.size:                   # no deblur outputs at 1 level)
+                    sums[f"{metric}_{cat}"] = (
+                        sums.get(f"{metric}_{cat}", 0.0) + vals.sum())
+        count += int(valid.sum())
+        if verbose:
+            b0 = {f"{m}_{c}": float(np.asarray(v)[0])
+                  for m, cs in out.items() for c, v in cs.items()}
+            print(f"  clip {ci}: " + "  ".join(
+                f"{k}={v:.3f}" for k, v in b0.items() if np.isfinite(v)))
+    results = {k: v / max(count, 1) for k, v in sums.items()}
+    if verbose and results:
+        print("== mean over {} clips ==".format(count))
+        for k in sorted(results):
+            print(f"  {k}: {results[k]:.4f}")
+    return results
+
+
+def evaluate_cli(cfg: Config, checkpoint: str = "", num_clips: int = 4) -> dict:
+    from bin_tpu.data.pipeline import SyntheticSource, eval_clips
+    from bin_tpu.training.checkpoint import restore_params
+
+    model = build_model(cfg)
+    if checkpoint:
+        params = restore_params(checkpoint)
+    else:
+        print("WARNING: no checkpoint given — evaluating RANDOM INIT weights")
+        h, w = cfg.data.eval_size
+        params = model.init(jax.random.key(cfg.seed), height=h, width=w)
+
+    h, w = cfg.data.eval_size
+    # eval keys: enough for a few windows; synthetic stand-in when no
+    # real dataset root is configured (SURVEY.md §8 hard part (f))
+    num_keys = max(cfg.data.seq_len, cfg.model.window_size + 2)
+    if cfg.data.dataset == "synthetic" or not cfg.data.root:
+        source = SyntheticSource(num_samples=num_clips, num_keys=num_keys,
+                                 height=h, width=w, taps=cfg.data.blur_taps,
+                                 stride=cfg.data.blur_stride, seed=cfg.seed + 1)
+    else:
+        from bin_tpu.data.frames import FrameFolderSource
+        source = FrameFolderSource(cfg.data.root, num_keys=num_keys)
+    return evaluate(model, params, eval_clips(source, batch_size=1))

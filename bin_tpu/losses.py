@@ -1,0 +1,79 @@
+"""Training losses: multi-frame Charbonnier, cycle consistency, perceptual.
+
+Reference (SURVEY.md §3.2 'Loss module' [P], BASELINE.json:5): a weighted sum
+of per-output Charbonnier/L1 terms over every supervised pyramid output and
+time step, a cycle-consistency term between same-timestamp outputs of
+different levels, and (extended config) a perceptual term.
+
+Perceptual term: the reference uses VGG features; no pretrained VGG weights
+exist on this machine (no network — SURVEY.md §8 hard part (c)), so the
+pluggable default is a gradient-domain (edge) loss which needs no weights;
+a VGG-feature loss can be registered once weights are available.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from bin_tpu.config import LossConfig
+
+__all__ = ["charbonnier", "gradient_loss", "pyramid_loss"]
+
+
+def charbonnier(pred: jax.Array, target: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Mean Charbonnier penalty sqrt(diff^2 + eps^2) — the reference's robust
+    L1.  Inputs any shape; returns a scalar. Computed in fp32."""
+    diff = pred.astype(jnp.float32) - target.astype(jnp.float32)
+    return jnp.mean(jnp.sqrt(diff * diff + eps * eps))
+
+
+def _spatial_grads(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    return x[..., 1:, :, :] - x[..., :-1, :, :], x[..., :, 1:, :] - x[..., :, :-1, :]
+
+
+def gradient_loss(pred: jax.Array, target: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Charbonnier on spatial gradients — weight-free perceptual surrogate."""
+    pgy, pgx = _spatial_grads(pred)
+    tgy, tgx = _spatial_grads(target)
+    return charbonnier(pgy, tgy, eps) + charbonnier(pgx, tgx, eps)
+
+
+def pyramid_loss(outputs: list[jax.Array], gt: jax.Array,
+                 cfg: LossConfig, window_size: int) -> tuple[jax.Array, dict]:
+    """Deep-supervised loss for one window step.
+
+    outputs: per-level lists from BINPyramid — level l entry shaped
+             (B, window_size-1-l, H, W, 3) at times l, l+2, ...
+    gt:      (B, 2*window_size-1, H, W, 3) sharp frames on the window's
+             2x-rate output grid.
+    """
+    from bin_tpu.models.pyramid import level_output_times
+
+    total = jnp.float32(0.0)
+    aux: dict[str, jax.Array] = {}
+    center_preds = []  # same-timestamp predictions for the cycle term
+    center_t = window_size - 1  # odd centre timestamp (e.g. 3 for K=4)
+    for idx, out in enumerate(outputs):
+        level = idx + 1
+        times = level_output_times(level, window_size)
+        level_gt = gt[:, jnp.asarray(times)]
+        weight = cfg.level_weights[idx] if idx < len(cfg.level_weights) else 1.0
+        term = charbonnier(out, level_gt, cfg.charbonnier_eps)
+        if cfg.perceptual_weight > 0.0:
+            term = term + cfg.perceptual_weight * gradient_loss(
+                out, level_gt, cfg.charbonnier_eps)
+        aux[f"loss_level{level}"] = term
+        total = total + weight * term
+        if center_t in times:
+            center_preds.append(out[:, times.index(center_t)])
+
+    if cfg.cycle_weight > 0.0 and len(center_preds) >= 2:
+        # tie the first (level-1) and last (cycle-level) estimates of the
+        # centre frame — the reference's cycle-consistency constraint [P]
+        cyc = charbonnier(center_preds[0], center_preds[-1], cfg.charbonnier_eps)
+        aux["loss_cycle"] = cyc
+        total = total + cfg.cycle_weight * cyc
+
+    aux["loss_total"] = total
+    return total, aux

@@ -1,0 +1,88 @@
+"""Backbone: U-Net-style encoder-decoder synthesizing one sharp frame from
+two (blurry or refined) input frames.
+
+Reference (SURVEY.md §3.2 'Backbone encoder-decoder' [P], BASELINE.json:5):
+concat two RGB frames → conv/LeakyReLU encoder with two downsamples →
+residual blocks at the bottleneck → decoder with bilinear upsampling + skip
+connections → 3-channel residual added to the average of the two inputs.
+
+TPU-native choices:
+  * NHWC throughout; channel widths are multiples of the 128-lane register
+    tile at the bottleneck (256) where most FLOPs live.
+  * The pyramid runs this backbone on ALL adjacent frame pairs of a level in
+    one call by folding the pair axis into the batch axis — large batched
+    convs keep the MXU fed instead of a Python loop of small ones.
+  * ``context`` injects the inter-pyramid ConvLSTM hidden state (PRF) at the
+    bottleneck via a 1x1 conv; the backbone also returns its bottleneck
+    features so the caller can update the ConvLSTM.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from bin_tpu.models.layers import ConvBlock, Downsample, ResBlock, Upsample, conv1x1, conv3x3
+
+__all__ = ["Backbone"]
+
+
+class Backbone(nn.Module):
+    base_features: int = 64
+    channel_mult: tuple[int, ...] = (1, 2, 4)
+    num_res_blocks: int = 4
+    slope: float = 0.1
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, frame_a: jax.Array, frame_b: jax.Array,
+                 context: jax.Array | None = None):
+        """(B,H,W,3)x2 [+ (B,h,w,F) context] → ((B,H,W,3) sharp, (B,h,w,C) feats).
+
+        h = H / 2**(len(channel_mult)-1); output is fp32 regardless of the
+        compute dtype (residual add + clamp-free synthesis head).
+        """
+        chans = [self.base_features * m for m in self.channel_mult]
+        x = jnp.concatenate([frame_a, frame_b], axis=-1).astype(self.dtype)
+
+        x = ConvBlock(chans[0], self.slope, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="head")(x)
+        skips = []
+        for i, ch in enumerate(chans[:-1]):
+            x = ResBlock(ch, self.slope, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name=f"enc_{i}")(x)
+            skips.append(x)
+            x = Downsample(chans[i + 1], self.slope, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name=f"down_{i}")(x)
+
+        if context is not None:
+            x = x + conv1x1(chans[-1], dtype=self.dtype,
+                            param_dtype=self.param_dtype,
+                            name="context_proj")(context.astype(self.dtype))
+
+        for i in range(self.num_res_blocks):
+            x = ResBlock(chans[-1], self.slope, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name=f"mid_{i}")(x)
+        feats = x  # bottleneck features (ConvLSTM input, PRF)
+
+        for i, ch in reversed(list(enumerate(chans[:-1]))):
+            x = Upsample(ch, self.slope, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name=f"up_{i}")(x)
+            x = x + skips[i]
+            x = ResBlock(ch, self.slope, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name=f"dec_{i}")(x)
+
+        # Zero-init tail: at init every level predicts exactly the average of
+        # its two inputs, keeping early pyramid levels in-range for deeper
+        # ones (the residual-synthesis analog of zero-init'd output heads).
+        residual = nn.Conv(3, (3, 3), padding="SAME",
+                           kernel_init=nn.initializers.zeros,
+                           dtype=self.dtype, param_dtype=self.param_dtype,
+                           name="tail")(x)
+        base = 0.5 * (frame_a + frame_b)
+        sharp = base.astype(jnp.float32) + residual.astype(jnp.float32)
+        return sharp, feats

@@ -1,0 +1,70 @@
+"""ConvLSTM cell — the PRF inter-pyramid recurrent unit.
+
+Reference (SURVEY.md §3.2 'ConvLSTM cell' [P], BASELINE.json:5): a
+hand-rolled convolutional LSTM whose gates are one convolution over
+``concat([x, h])``; (h, c) persist across sliding-window time steps.
+
+TPU-native: the gate convolution produces all 4*F gate channels in one conv
+(one big MXU matmul), and the pointwise gate math (2 sigmoids, 2 tanhs, 3
+multiplies, 1 add) is a single fused elementwise stage — optionally a Pallas
+kernel (bin_tpu.ops.pallas.lstm_gates) that evaluates it in one VMEM pass;
+the default path lets XLA fuse it.  The time axis is driven OUTSIDE the cell
+by ``jax.lax.scan`` with a donated carry (bin_tpu.models.recurrent).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from bin_tpu.models.layers import _KERNEL_INIT
+
+__all__ = ["ConvLSTMCell", "init_state", "lstm_gate_math"]
+
+
+def init_state(batch: int, height: int, width: int, features: int,
+               dtype: Any = jnp.float32) -> tuple[jax.Array, jax.Array]:
+    """Zero (h, c) carry for one cell."""
+    shape = (batch, height, width, features)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def lstm_gate_math(gates: jax.Array, c: jax.Array, forget_bias: float = 1.0):
+    """Pointwise LSTM update from stacked gate pre-activations (..., 4F).
+
+    Split order: input, forget, cell-candidate, output.  Runs in fp32 —
+    carried state must not accumulate bf16 rounding across long clips.
+    """
+    gates = gates.astype(jnp.float32)
+    c = c.astype(jnp.float32)
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    new_c = jax.nn.sigmoid(f + forget_bias) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+    return new_h, new_c
+
+
+class ConvLSTMCell(nn.Module):
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    forget_bias: float = 1.0
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    use_pallas: bool = False  # fuse gate math with the Pallas kernel
+
+    @nn.compact
+    def __call__(self, x: jax.Array, state: tuple[jax.Array, jax.Array]):
+        """x (B,h,w,Cin), state ((B,h,w,F), (B,h,w,F)) → (new_h, new_c)."""
+        h, c = state
+        inp = jnp.concatenate([x.astype(self.dtype), h.astype(self.dtype)], axis=-1)
+        gates = nn.Conv(4 * self.features, self.kernel_size, padding="SAME",
+                        kernel_init=_KERNEL_INIT, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="gates")(inp)
+        if self.use_pallas:
+            from bin_tpu.ops.pallas.lstm_gates import fused_lstm_gates
+            new_h, new_c = fused_lstm_gates(gates, c, self.forget_bias)
+        else:
+            new_h, new_c = lstm_gate_math(gates, c, self.forget_bias)
+        return new_h, new_c

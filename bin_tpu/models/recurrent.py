@@ -1,0 +1,135 @@
+"""PRF temporal recurrence: sliding-window scan over long clips.
+
+Reference (SURVEY.md §3.2 'Inter-pyramid recurrence', §6.7): the pyramid is
+slid along the clip one key frame at a time; the per-level ConvLSTM (h, c)
+states are the only thing crossing window boundaries, giving O(1) memory in
+clip length.  TPU-native mapping (BASELINE.json:5): ``jax.lax.scan`` over
+window start indices with the state pytree as the donated carry; each scan
+step slices its window out of the on-device clip with a static-size
+``dynamic_slice`` (no host round trips, one compiled step reused T times).
+
+Window timestamp bookkeeping (2x output grid): window s covers keys
+s..s+K-1, i.e. output times 2s..2s+2(K-1); pyramid level l predicts local
+times l, l+2, ..., 2(K-1)-l (see pyramid.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bin_tpu.config import LossConfig, ModelConfig
+from bin_tpu.models.pyramid import level_output_times, total_levels
+
+__all__ = ["num_windows", "scan_windows", "clip_loss", "assembly_plan",
+           "assemble_clip", "covered_times"]
+
+
+def num_windows(num_keys: int, window_size: int) -> int:
+    n = num_keys - window_size + 1
+    if n < 1:
+        raise ValueError(f"clip of {num_keys} keys shorter than window {window_size}")
+    return n
+
+
+def scan_windows(apply_fn: Callable, params: Any, blurry: jax.Array,
+                 init_states: list, window_size: int):
+    """Run the pyramid over every sliding window of a clip.
+
+    apply_fn(params, window, states) -> (outputs, new_states)
+    blurry: (B, K_total, H, W, 3)
+
+    Returns (stacked_outputs, final_states): stacked_outputs is a list over
+    levels, entry l shaped (S, B, P_l, H, W, 3) with S = number of windows.
+    """
+    n = num_windows(blurry.shape[1], window_size)
+
+    def body(states, start):
+        window = jax.lax.dynamic_slice_in_dim(blurry, start, window_size, axis=1)
+        outputs, new_states = apply_fn(params, window, states)
+        return new_states, outputs
+
+    starts = jnp.arange(n)
+    final_states, outputs = jax.lax.scan(body, init_states, starts)
+    return outputs, final_states
+
+
+def clip_loss(apply_fn: Callable, params: Any, blurry: jax.Array,
+              sharp: jax.Array, init_states: list, model_cfg: ModelConfig,
+              loss_cfg: LossConfig):
+    """Mean deep-supervised loss over all windows of a clip.
+
+    The loss is accumulated INSIDE the scan (constant memory in clip length
+    apart from what autodiff saves per step; pair with jax.checkpoint on
+    apply_fn for long clips).
+    """
+    from bin_tpu.losses import pyramid_loss
+
+    k = model_cfg.window_size
+    n = num_windows(blurry.shape[1], k)
+    gt_span = 2 * k - 1
+
+    def body(states, start):
+        window = jax.lax.dynamic_slice_in_dim(blurry, start, k, axis=1)
+        gt = jax.lax.dynamic_slice_in_dim(sharp, 2 * start, gt_span, axis=1)
+        outputs, new_states = apply_fn(params, window, states)
+        loss, aux = pyramid_loss(outputs, gt, loss_cfg, k)
+        return new_states, (loss, aux)
+
+    starts = jnp.arange(n)
+    _, (losses, auxs) = jax.lax.scan(body, init_states, starts)
+    mean_aux = {k_: jnp.mean(v) for k_, v in auxs.items()}
+    return jnp.mean(losses), mean_aux
+
+
+def assembly_plan(num_keys: int, window_size: int,
+                  levels: int) -> dict[int, tuple[int, int, int]]:
+    """Static plan: output time t -> (level_idx, window, pair_index).
+
+    For every reachable output timestamp, pick the DEEPEST pyramid level
+    whose parity matches t, then the window placing t most centrally in that
+    level (ties → later window, i.e. more ConvLSTM history).  Boundary times
+    0 and 2*(num_keys-1) are never predicted — the reference likewise
+    excludes clip-boundary frames from its tables (SURVEY.md §4.2).
+    """
+    s_count = num_windows(num_keys, window_size)
+    plan: dict[int, tuple[int, int, int]] = {}
+    for t in range(1, 2 * (num_keys - 1)):
+        for li in range(levels - 1, -1, -1):
+            level = li + 1
+            if (t - level) % 2:
+                continue
+            p = window_size - 1 - li
+            best = None
+            for s in range(s_count):
+                j = (t - 2 * s - level) // 2
+                if 0 <= j < p:
+                    key = (abs(j - (p - 1) / 2), -s)
+                    if best is None or key < best[0]:
+                        best = (key, s, j)
+            if best is not None:
+                plan[t] = (li, best[1], best[2])
+                break
+    return plan
+
+
+def covered_times(num_keys: int, window_size: int, levels: int) -> list[int]:
+    return sorted(assembly_plan(num_keys, window_size, levels))
+
+
+def assemble_clip(stacked_outputs: list[jax.Array], num_keys: int,
+                  window_size: int) -> tuple[jax.Array, np.ndarray]:
+    """Assemble the 2x-rate sharp video from scanned pyramid outputs.
+
+    stacked_outputs: per level, (S, B, P_l, H, W, 3) as from scan_windows.
+    Returns (video, times): video (B, T_cov, H, W, 3) and the global output
+    timestamps (ascending) each frame corresponds to.
+    """
+    levels = len(stacked_outputs)
+    plan = assembly_plan(num_keys, window_size, levels)
+    times = sorted(plan)
+    frames = [stacked_outputs[plan[t][0]][plan[t][1], :, plan[t][2]] for t in times]
+    return jnp.stack(frames, axis=1), np.asarray(times)

@@ -1,0 +1,99 @@
+"""Model factory: config → constructed model handle.
+
+Reference equivalent (SURVEY.md §3.2 'Model factory' [R]): a networks/
+factory selecting BIN scale variants / PRF by name.  Here every variant is
+the same BINPyramid module under different flags; the registry validates the
+name, normalizes flags, and returns a ``Model`` handle bundling the module
+with init / apply / clip-level helpers so callers never touch Flax binding
+details.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from bin_tpu.config import Config, LossConfig, ModelConfig
+from bin_tpu.models.pyramid import BINPyramid, initial_state, total_levels
+from bin_tpu.models import recurrent
+
+__all__ = ["Model", "build_model", "MODEL_NAMES"]
+
+MODEL_NAMES = ("backbone", "pyramid", "prf")
+
+
+def _normalize(cfg: ModelConfig) -> ModelConfig:
+    """Make the model name authoritative over the sub-flags."""
+    if cfg.name == "backbone":
+        return dataclasses.replace(cfg, num_levels=1, use_convlstm=False,
+                                   cycle_level=False)
+    if cfg.name == "pyramid":
+        return dataclasses.replace(cfg, use_convlstm=False)
+    if cfg.name == "prf":
+        return dataclasses.replace(cfg, use_convlstm=True)
+    raise KeyError(f"unknown model {cfg.name!r}; available: {MODEL_NAMES}")
+
+
+@dataclasses.dataclass(frozen=True)
+class Model:
+    """Bound handle over the pyramid module for one model config."""
+
+    cfg: ModelConfig
+    module: BINPyramid
+
+    # -- parameter / state management ------------------------------------
+    def init(self, rng: jax.Array, batch: int = 1, height: int = 64,
+             width: int = 64) -> Any:
+        window = jnp.zeros((batch, self.cfg.window_size, height, width, 3),
+                           jnp.float32)
+        states = self.initial_state(batch, height, width)
+        return self.module.init(rng, window, states)["params"]
+
+    def initial_state(self, batch: int, height: int, width: int):
+        return initial_state(self.cfg, batch, height, width)
+
+    @property
+    def num_levels_total(self) -> int:
+        return total_levels(self.cfg)
+
+    # -- forward ----------------------------------------------------------
+    def apply_window(self, params: Any, window: jax.Array, states: list):
+        """One pyramid forward: (B,K,H,W,3) → (per-level outputs, states)."""
+        return self.module.apply({"params": params}, window, states)
+
+    def _apply_fn(self, params, window, states):
+        return self.module.apply({"params": params}, window, states)
+
+    def forward_clip(self, params: Any, blurry: jax.Array):
+        """Scan a whole clip: (B,Kt,H,W,3) → (stacked per-level outputs,
+        final ConvLSTM states)."""
+        b, _, h, w, _ = blurry.shape
+        states = self.initial_state(b, h, w)
+        return recurrent.scan_windows(self._apply_fn, params, blurry, states,
+                                      self.cfg.window_size)
+
+    def infer_clip(self, params: Any, blurry: jax.Array):
+        """Full joint deblur + 2x interpolation of a clip.
+
+        Returns (video, times): (B, T_cov, H, W, 3) assembled sharp output
+        and the global 2x-grid timestamps covered (numpy, static).
+        """
+        outputs, _ = self.forward_clip(params, blurry)
+        return recurrent.assemble_clip(outputs, blurry.shape[1],
+                                       self.cfg.window_size)
+
+    def loss_clip(self, params: Any, blurry: jax.Array, sharp: jax.Array,
+                  loss_cfg: LossConfig):
+        b, _, h, w, _ = blurry.shape
+        states = self.initial_state(b, h, w)
+        return recurrent.clip_loss(self._apply_fn, params, blurry, sharp,
+                                   states, self.cfg, loss_cfg)
+
+
+def build_model(cfg: Config | ModelConfig) -> Model:
+    mcfg = cfg.model if isinstance(cfg, Config) else cfg
+    mcfg = _normalize(mcfg)
+    return Model(cfg=mcfg, module=BINPyramid(cfg=mcfg))

@@ -1,0 +1,50 @@
+"""Train state + optimizer (reference recipe: Adam lr~1e-4 with step decay,
+SURVEY.md §4.1 [R][P]); optax equivalents with global-norm clipping."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import optax
+
+from bin_tpu.config import Config, OptimConfig
+from bin_tpu.registry import Model
+
+__all__ = ["TrainState", "make_optimizer", "create_train_state"]
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    schedule = optax.exponential_decay(
+        init_value=cfg.learning_rate,
+        transition_steps=cfg.lr_decay_steps,
+        decay_rate=cfg.lr_decay_rate,
+        staircase=True,  # step decay, as the reference's scheduler
+    )
+    chain = []
+    if cfg.grad_clip_norm > 0:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    if cfg.weight_decay > 0:
+        chain.append(optax.adamw(schedule, b1=cfg.beta1, b2=cfg.beta2,
+                                 weight_decay=cfg.weight_decay))
+    else:
+        chain.append(optax.adam(schedule, b1=cfg.beta1, b2=cfg.beta2))
+    return optax.chain(*chain)
+
+
+def create_train_state(cfg: Config, model: Model, rng: jax.Array,
+                       sample_hw: tuple[int, int] | None = None) -> TrainState:
+    h, w = sample_hw or cfg.data.crop_size
+    params = model.init(rng, batch=1, height=h, width=w)
+    optimizer = make_optimizer(cfg.optim)
+    import jax.numpy as jnp
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=optimizer.init(params))

@@ -1,0 +1,136 @@
+"""Training loop: jitted SPMD train step over a data-parallel mesh.
+
+Reference hot loop (SURVEY.md §4.1): Python epoch loop with eager forward /
+backward per batch, DataParallel scatter-gather per step.  TPU-native: ONE
+jitted step function (clip scan + loss + grad + Adam update fused into a
+single XLA program), donated train state, batch sharded over the 'data' mesh
+axis so the gradient all-reduce rides ICI; the Python loop only feeds numpy
+batches and reads back scalar metrics every log interval.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bin_tpu.config import Config
+from bin_tpu.parallel.mesh import MeshPlan, make_mesh
+from bin_tpu.registry import Model, build_model
+from bin_tpu.training.state import TrainState, create_train_state, make_optimizer
+from bin_tpu.utils.logging import MetricLogger
+
+__all__ = ["make_train_step", "train_loop", "train"]
+
+
+def make_train_step(model: Model, cfg: Config,
+                    plan: MeshPlan | None = None) -> Callable:
+    """Build the jitted train step: (TrainState, batch) → (TrainState, aux).
+
+    batch = {"blurry": (B,K,H,W,3), "sharp": (B,2K-1,H,W,3)} — already
+    device-put with the plan's batch sharding when a mesh is used.
+    """
+    optimizer = make_optimizer(cfg.optim)
+
+    def step(state: TrainState, batch: dict[str, jax.Array]):
+        def loss_fn(params):
+            return model.loss_clip(params, batch["blurry"], batch["sharp"],
+                                   cfg.loss)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        aux["grad_norm"] = optax.global_norm(grads)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state), aux
+
+    # With a mesh, jit infers the SPMD partitioning from input shardings:
+    # state arrives replicated, the batch arrives sharded over 'data', so
+    # XLA emits the gradient all-reduce over ICI by itself (SURVEY.md §6.8).
+    return jax.jit(step, donate_argnums=0)
+
+
+def train_loop(cfg: Config, model: Model, state: TrainState,
+               batches: Iterator[dict[str, Any]], num_steps: int,
+               logger: MetricLogger, plan: MeshPlan | None = None,
+               checkpoint_cb: Callable[[int, TrainState], None] | None = None,
+               ) -> TrainState:
+    step_fn = make_train_step(model, cfg, plan)
+    log_every = max(1, cfg.log.log_interval_steps)
+    t_last = time.monotonic()
+    frames_since = 0
+    for i in range(num_steps):
+        batch = next(batches)
+        frames_since += batch["blurry"].shape[0] * batch["blurry"].shape[1]
+        if plan is not None:
+            from bin_tpu.parallel.mesh import shard_batch
+            batch = shard_batch(plan, batch)
+        state, aux = step_fn(state, batch)
+        step_num = i + 1
+        if step_num % log_every == 0 or step_num == num_steps:
+            aux = jax.device_get(aux)  # sync point, only at log interval
+            now = time.monotonic()
+            fps = frames_since / max(now - t_last, 1e-9)
+            t_last, frames_since = now, 0
+            logger.log(step_num, input_fps=fps,
+                       **{k: float(v) for k, v in aux.items()})
+        if checkpoint_cb is not None:
+            checkpoint_cb(step_num, state)
+    return state
+
+
+def train(cfg: Config, workdir: str = "runs/latest",
+          num_steps: int | None = None) -> TrainState:
+    """End-to-end entry: data, model, mesh, checkpoints, loop (CLI target)."""
+    from bin_tpu.data.pipeline import SyntheticSource, train_iterator
+    from bin_tpu.training import checkpoint as ckpt
+
+    num_steps = num_steps or cfg.optim.num_steps
+    os.makedirs(workdir, exist_ok=True)
+    logger = MetricLogger(os.path.join(workdir, cfg.log.jsonl_path))
+
+    model = build_model(cfg)
+    rng = jax.random.key(cfg.seed)
+    state = create_train_state(cfg, model, rng)
+
+    plan = None
+    if cfg.parallel.data_axis_size != 1 or cfg.parallel.spatial_axis_size != 1:
+        plan = make_mesh(cfg.parallel)
+        from bin_tpu.parallel.mesh import replicated
+        state = replicated(plan, state)
+
+    source = _make_source(cfg)
+    batches = train_iterator(source, cfg.data.batch_size, cfg.data.crop_size,
+                             seed=cfg.seed, random_flip=cfg.data.random_flip,
+                             prefetch=cfg.data.prefetch)
+
+    manager = ckpt.make_manager(os.path.join(workdir, cfg.checkpoint.directory),
+                                cfg.checkpoint)
+    state = ckpt.restore_if_available(manager, state)
+
+    def save_cb(step: int, s: TrainState):
+        if step % cfg.checkpoint.save_interval_steps == 0:
+            ckpt.save(manager, step, s)
+
+    state = train_loop(cfg, model, state, batches, num_steps, logger, plan,
+                       checkpoint_cb=save_cb)
+    manager.wait_until_finished()
+    logger.close()
+    return state
+
+
+def _make_source(cfg: Config):
+    from bin_tpu.data.pipeline import SyntheticSource
+    if cfg.data.dataset == "synthetic":
+        ch, cw = cfg.data.crop_size
+        return SyntheticSource(num_samples=256, num_keys=cfg.data.seq_len,
+                               height=ch + 16, width=cw + 16,  # room to crop
+                               taps=cfg.data.blur_taps,
+                               stride=cfg.data.blur_stride, seed=cfg.seed)
+    from bin_tpu.data.frames import FrameFolderSource
+    return FrameFolderSource(cfg.data.root, num_keys=cfg.data.seq_len)

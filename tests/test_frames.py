@@ -1,0 +1,69 @@
+"""Offline blur-synthesis tool ↔ FrameFolderSource roundtrip tests."""
+
+import numpy as np
+import pytest
+
+from bin_tpu.data import synthetic
+from bin_tpu.data.blur import synthesize_tree
+from bin_tpu.data.frames import FrameFolderSource
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    """Write two tiny synthetic 240fps clips, run the prep tool on them."""
+    root = tmp_path_factory.mktemp("data")
+    src = root / "raw240"
+    for clip_id, seed, frames in (("clipA", 1, 35), ("clipB", 2, 43)):
+        d = src / clip_id
+        d.mkdir(parents=True)
+        clip = synthetic.render_sharp_clip(seed, frames, 24, 32)
+        for i, frame in enumerate(clip):
+            np.save(d / f"{i:06d}.npy", (frame * 255 + 0.5).astype(np.uint8))
+    dst = root / "prepped"
+    n = synthesize_tree(str(src), str(dst), taps=11, stride=8, verbose=False)
+    assert n == 2
+    return src, dst
+
+
+def test_prep_tool_layout_and_counts(tree):
+    src, dst = tree
+    # clipA: 35 frames → (35-11)//8+1 = 4 keys, 7 sharp GT
+    a_blur = sorted((dst / "blurry" / "clipA").iterdir())
+    a_sharp = sorted((dst / "sharp" / "clipA").iterdir())
+    assert len(a_blur) == 4 and len(a_sharp) == 7
+    # clipB: 43 frames → 5 keys, 9 sharp
+    assert len(list((dst / "blurry" / "clipB").iterdir())) == 5
+
+
+def test_prep_blur_values_match_recipe(tree):
+    src, dst = tree
+    clip = synthetic.render_sharp_clip(1, 35, 24, 32)
+    expected = synthetic.synthesize_blur(clip, 11, 8)
+    got = np.load(dst / "blurry" / "clipA" / "000000.npy").astype(np.float32) / 255.0
+    np.testing.assert_allclose(got, expected[0], atol=1.0 / 255.0)
+    # sharp GT at t=1 is the 240fps frame at index 9
+    got_s = np.load(dst / "sharp" / "clipA" / "000001.npy").astype(np.float32) / 255.0
+    np.testing.assert_allclose(got_s, clip[9], atol=1.0 / 255.0)
+
+
+def test_frame_folder_source_chunks(tree):
+    _, dst = tree
+    src4 = FrameFolderSource(str(dst), num_keys=4, chunk_stride=1)
+    # clipA: 4 keys → 1 chunk; clipB: 5 keys → 2 chunks
+    assert len(src4) == 3
+    s = src4[0]
+    assert s["blurry"].shape == (4, 24, 32, 3)
+    assert s["sharp"].shape == (7, 24, 32, 3)
+    assert s["blurry"].dtype == np.float32 and s["blurry"].max() <= 1.0
+
+
+def test_frame_folder_source_full_clips(tree):
+    _, dst = tree
+    src = FrameFolderSource(str(dst), num_keys=None)
+    assert len(src) == 2
+    assert src[1]["blurry"].shape[0] == 5
+
+
+def test_frame_folder_source_missing_root():
+    with pytest.raises(FileNotFoundError):
+        FrameFolderSource("/nonexistent/path")

@@ -1,0 +1,74 @@
+"""End-to-end training smoke + overfit tests (SURVEY.md §5: 1-step smoke per
+driver config; §8 stage 2: overfit a tiny clip to near-zero loss)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from bin_tpu.config import get_config
+from bin_tpu.data.pipeline import SyntheticSource, train_iterator
+from bin_tpu.registry import build_model
+from bin_tpu.training.state import create_train_state
+from bin_tpu.training.trainer import make_train_step
+from bin_tpu.utils.logging import MetricLogger
+
+
+def _tiny(cfg):
+    """Shrink a preset to unit-test scale (tiny channels, 32x32 crops)."""
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, base_features=8,
+                                  num_res_blocks=1, convlstm_features=16),
+        data=dataclasses.replace(cfg.data, crop_size=(32, 32), batch_size=2,
+                                 seq_len=max(4, min(cfg.data.seq_len, 5))),
+    )
+
+
+@pytest.mark.parametrize("preset", [
+    "config1_backbone_128", "config2_pyramid", "config3_prf"])
+def test_one_train_step_per_config(preset):
+    cfg = _tiny(get_config(preset))
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.key(0))
+    src = SyntheticSource(4, cfg.data.seq_len, 48, 48, seed=0)
+    batch = next(train_iterator(src, cfg.data.batch_size, cfg.data.crop_size))
+    step = make_train_step(model, cfg)
+    state2, aux = step(state, batch)
+    assert int(state2.step) == 1
+    assert np.isfinite(float(aux["loss_total"]))
+    assert float(aux["grad_norm"]) > 0
+
+
+def test_overfit_tiny_clip():
+    """Loss must drop substantially when overfitting one batch — the
+    end-to-end learning sanity check (SURVEY.md §8 stage 2)."""
+    cfg = _tiny(get_config("config1_backbone_128"))
+    cfg = dataclasses.replace(
+        cfg, optim=dataclasses.replace(cfg.optim, learning_rate=2e-3))
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.key(0))
+    src = SyntheticSource(1, 4, 40, 40, seed=3)
+    batch = next(train_iterator(src, 2, (32, 32), seed=0, random_flip=False))
+    step = make_train_step(model, cfg)
+
+    first = None
+    for _ in range(60):
+        state, aux = step(state, batch)
+        if first is None:
+            first = float(aux["loss_total"])
+    last = float(aux["loss_total"])
+    assert last < 0.5 * first, (first, last)
+
+
+def test_metric_logger(tmp_path):
+    import json
+    path = tmp_path / "m.jsonl"
+    logger = MetricLogger(str(path))
+    logger.log(1, loss=0.5, note="hi")
+    logger.log(2, loss=0.25)
+    logger.close()
+    lines = [json.loads(l) for l in path.read_text().splitlines()]
+    assert lines[0]["step"] == 1 and lines[0]["loss"] == 0.5
+    assert lines[1]["loss"] == 0.25
