@@ -70,24 +70,42 @@ def main(argv=None):
 
     infer = jax.jit(lambda p, x: model.infer_clip(p, x)[0])
 
+    # Timing methodology: on this environment's experimental PJRT platform
+    # (axon tunnel), block_until_ready() does NOT wait for device execution
+    # and a host fetch costs tens of ms.  So: run R clip inferences as a
+    # device-side lax.scan (serialized by a tiny numerical carry dependency
+    # that XLA cannot fold away), fetch one scalar, and take the SLOPE
+    # between two scan lengths — overhead and fetch latency cancel.
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def chained(p, x, n):
+        def body(carry, _):
+            video = infer(p, x + carry * jnp.float32(1e-30))
+            return jnp.sum(video), None
+        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return out
+
     t0 = time.monotonic()
-    out = infer(params, blurry)
-    out.block_until_ready()
-    log(f"compile+first-run: {time.monotonic() - t0:.1f}s, output {out.shape}")
+    first = float(np.asarray(chained(params, blurry, 1)))
+    log(f"compile+first-run: {time.monotonic() - t0:.1f}s (checksum {first:.3e})")
+
+    def timed(n):
+        t0 = time.monotonic()
+        np.asarray(chained(params, blurry, n))
+        return time.monotonic() - t0
 
     for _ in range(args.warmup):
-        infer(params, blurry).block_until_ready()
+        timed(1)
+    t1 = min(timed(1) for _ in range(3))
+    tn = min(timed(args.iters) for _ in range(2))
+    dt = max(tn - t1, 1e-9) / (args.iters - 1)
 
-    times = []
-    for _ in range(args.iters):
-        t0 = time.monotonic()
-        infer(params, blurry).block_until_ready()
-        times.append(time.monotonic() - t0)
-    dt = float(np.median(times))
-    out_frames = out.shape[0] * out.shape[1]
+    out_shape = jax.eval_shape(infer, params, blurry).shape
+    out_frames = out_shape[0] * out_shape[1]
     fps = out_frames / dt
-    log(f"median {dt * 1e3:.1f} ms for {out_frames} output frames "
-        f"({min(times) * 1e3:.1f}-{max(times) * 1e3:.1f} ms)")
+    log(f"per-clip device time {dt * 1e3:.1f} ms for {out_frames} output "
+        f"frames (t1={t1 * 1e3:.0f} ms, t{args.iters}={tn * 1e3:.0f} ms)")
 
     # FLOPs of the compiled program → A100-equivalent eager reference fps
     vs_baseline = None
