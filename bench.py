@@ -48,6 +48,10 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--stem", type=int, default=None,
+                   help="override model.stem_factor")
+    p.add_argument("--base", type=int, default=None,
+                   help="override model.base_features")
     args = p.parse_args(argv)
 
     import jax
@@ -59,8 +63,12 @@ def main(argv=None):
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
-    cfg = get_config("config5_v5e_streaming",
-                     [f"model.dtype={args.dtype}"])
+    overrides = [f"model.dtype={args.dtype}"]
+    if args.stem is not None:
+        overrides.append(f"model.stem_factor={args.stem}")
+    if args.base is not None:
+        overrides.append(f"model.base_features={args.base}")
+    cfg = get_config("config5_v5e_streaming", overrides)
     model = build_model(cfg)
 
     h, w, k, b = args.height, args.width, args.keys, args.batch

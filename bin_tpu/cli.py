@@ -44,8 +44,10 @@ def eval_main(argv: list[str] | None = None) -> None:
     cfg, args = parse_config(argv, "Evaluate PSNR/SSIM of a bin_tpu model.", {
         "--checkpoint": dict(default="", help="checkpoint dir (empty = random init)"),
         "--num-clips": dict(type=int, default=4, help="eval clips (synthetic)"),
+        "--save-dir": dict(default="", help="write output frames as PNGs here"),
     })
-    evaluate_cli(cfg, checkpoint=args.checkpoint, num_clips=args.num_clips)
+    evaluate_cli(cfg, checkpoint=args.checkpoint, num_clips=args.num_clips,
+                 save_dir=args.save_dir)
 
 
 def bench_main(argv: list[str] | None = None) -> None:

@@ -31,8 +31,13 @@ class ModelConfig:
     name: str = "prf"              # "backbone" | "pyramid" | "prf"
     num_levels: int = 2            # pyramid depth (levels beyond inputs)
     window_size: int = 4           # blurry key frames per sliding window
-    base_features: int = 64        # channels at full resolution
+    base_features: int = 64        # channels at the stem resolution
     channel_mult: tuple[int, ...] = (1, 2, 4)  # per encoder scale
+    stem_factor: int = 2           # space-to-depth at the stem: every conv
+                                   # runs at H/f x W/f with f^2-wider input
+                                   # blocks (TPU lane utilization — see
+                                   # models/backbone.py; 1 = reference-style
+                                   # full-resolution stem)
     num_res_blocks: int = 4        # residual blocks at the bottleneck
     lrelu_slope: float = 0.1
     convlstm_features: int = 256   # hidden channels of the inter-pyramid ConvLSTM
@@ -116,6 +121,9 @@ class LogConfig:
     jsonl_path: str = "metrics.jsonl"
     log_interval_steps: int = 50
     profile_dir: str = ""          # non-empty => jax.profiler traces
+    debug_nans: bool = False       # jax_debug_nans: fail fast on NaN/Inf
+                                   # (SURVEY.md §6.2 — the sanitizer analog;
+                                   # JAX purity removes data races by design)
 
 
 @dataclass(frozen=True)
@@ -172,7 +180,7 @@ def config1_backbone_128() -> Config:
     return Config(
         preset="config1_backbone_128",
         model=ModelConfig(name="backbone", num_levels=1, use_convlstm=False,
-                          cycle_level=False, base_features=64),
+                          cycle_level=False, base_features=64, stem_factor=1),
         data=DataConfig(crop_size=(128, 128), seq_len=4, batch_size=4),
         loss=LossConfig(level_weights=(1.0,), cycle_weight=0.0),
     )
@@ -182,7 +190,7 @@ def config2_pyramid() -> Config:
     return Config(
         preset="config2_pyramid",
         model=ModelConfig(name="pyramid", num_levels=2, use_convlstm=False,
-                          cycle_level=True),
+                          cycle_level=True, base_features=128),
         data=DataConfig(crop_size=(128, 128), eval_size=(352, 640),
                         seq_len=4, batch_size=8),
         loss=LossConfig(level_weights=(1.0, 1.0, 1.0), cycle_weight=0.1),
@@ -193,7 +201,7 @@ def config3_prf() -> Config:
     return Config(
         preset="config3_prf",
         model=ModelConfig(name="prf", num_levels=2, use_convlstm=True,
-                          cycle_level=True),
+                          cycle_level=True, base_features=128),
         # 11 sharp GT timestamps <=> 6 blurry key frames <=> 2 window steps
         data=DataConfig(crop_size=(128, 128), eval_size=(352, 640),
                         seq_len=6, batch_size=4),
@@ -205,7 +213,7 @@ def config4_gopro_720p() -> Config:
     return Config(
         preset="config4_gopro_720p",
         model=ModelConfig(name="prf", num_levels=2, use_convlstm=True,
-                          cycle_level=True),
+                          cycle_level=True, base_features=128),
         data=DataConfig(dataset="gopro", crop_size=(128, 128),
                         eval_size=(720, 1280), seq_len=6, batch_size=4),
         loss=LossConfig(level_weights=(1.0, 1.0, 1.0), cycle_weight=0.1),
@@ -216,7 +224,8 @@ def config5_v5e_streaming() -> Config:
     return Config(
         preset="config5_v5e_streaming",
         model=ModelConfig(name="prf", num_levels=2, use_convlstm=True,
-                          cycle_level=True, dtype="bfloat16"),
+                          cycle_level=True, base_features=128,
+                          dtype="bfloat16"),
         data=DataConfig(dataset="gopro", crop_size=(128, 128),
                         eval_size=(720, 1280), seq_len=6, batch_size=8),
         loss=LossConfig(level_weights=(1.0, 1.0, 1.0), cycle_weight=0.1),

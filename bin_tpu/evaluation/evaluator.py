@@ -56,22 +56,45 @@ def clip_metrics_fn(model: Model, num_keys: int):
     return fn
 
 
+def save_clip_frames(video: np.ndarray, times: np.ndarray, out_dir: str,
+                     clip_name: str) -> None:
+    """Write assembled output frames as PNGs (reference demo behavior,
+    SURVEY.md §4.2): <out_dir>/<clip>/t<t>.png on the 2x output grid."""
+    import os
+    from PIL import Image
+    d = os.path.join(out_dir, clip_name)
+    os.makedirs(d, exist_ok=True)
+    for frame, t in zip(video, times):
+        arr = (np.clip(frame, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(d, f"t{int(t):06d}.png"))
+
+
 def evaluate(model: Model, params: Any, clips: Iterable[dict[str, np.ndarray]],
-             verbose: bool = True) -> dict[str, float]:
+             verbose: bool = True, save_dir: str = "") -> dict[str, float]:
     """Aggregate PSNR/SSIM over eval clips.
 
     clips yield {"blurry": (B,K,H,W,3), "sharp": (B,2K-1,H,W,3),
-    "valid": (B,) optional padding mask}.
+    "valid": (B,) optional padding mask}.  With ``save_dir``, assembled
+    output videos are also written as PNG frame folders.
     """
     fn_cache: dict[tuple, Any] = {}
     sums: dict[str, float] = {}
     count = 0
+    infer_jit = None
     for ci, clip in enumerate(clips):
         key = clip["blurry"].shape[1:4]
         if key not in fn_cache:
             fn_cache[key] = clip_metrics_fn(model, clip["blurry"].shape[1])
         out = jax.device_get(fn_cache[key](params, jnp.asarray(clip["blurry"]),
                                            jnp.asarray(clip["sharp"])))
+        if save_dir:
+            if infer_jit is None:
+                infer_jit = jax.jit(lambda p, x: model.infer_clip(p, x))
+            video, times = infer_jit(params, jnp.asarray(clip["blurry"]))
+            valid_mask = clip.get("valid", np.ones(video.shape[0], bool))
+            for bi in np.nonzero(valid_mask)[0]:
+                save_clip_frames(np.asarray(video[bi]), np.asarray(times),
+                                 save_dir, f"clip{ci:04d}_{bi}")
         valid = clip.get("valid", np.ones(clip["blurry"].shape[0], bool))
         for metric, cats in out.items():
             for cat, vals in cats.items():
@@ -94,7 +117,8 @@ def evaluate(model: Model, params: Any, clips: Iterable[dict[str, np.ndarray]],
     return results
 
 
-def evaluate_cli(cfg: Config, checkpoint: str = "", num_clips: int = 4) -> dict:
+def evaluate_cli(cfg: Config, checkpoint: str = "", num_clips: int = 4,
+                 save_dir: str = "") -> dict:
     from bin_tpu.data.pipeline import SyntheticSource, eval_clips
     from bin_tpu.training.checkpoint import restore_params
 
@@ -117,4 +141,5 @@ def evaluate_cli(cfg: Config, checkpoint: str = "", num_clips: int = 4) -> dict:
     else:
         from bin_tpu.data.frames import FrameFolderSource
         source = FrameFolderSource(cfg.data.root, num_keys=num_keys)
-    return evaluate(model, params, eval_clips(source, batch_size=1))
+    return evaluate(model, params, eval_clips(source, batch_size=1),
+                    save_dir=save_dir)

@@ -8,7 +8,13 @@ connections → 3-channel residual added to the average of the two inputs.
 
 TPU-native choices:
   * NHWC throughout; channel widths are multiples of the 128-lane register
-    tile at the bottleneck (256) where most FLOPs live.
+    tile at the bottleneck where most FLOPs live.
+  * ``stem_factor`` space-to-depth: the input pair is pixel-unshuffled f x f
+    at the stem and the residual is depth-to-space'd back at the tail, so
+    every conv runs at H/f x W/f with f^2-wider channels.  Measured on v5e
+    (tools/profile_fullres.py): equal-FLOP convs run 3x faster at /2 + 2x
+    channels and 9x faster at /4 + 4x channels than at 720p with C=64,
+    which fills only half the 128-wide vector lanes.
   * The pyramid runs this backbone on ALL adjacent frame pairs of a level in
     one call by folding the pair axis into the batch axis — large batched
     convs keep the MXU fed instead of a Python loop of small ones.
@@ -35,6 +41,7 @@ class Backbone(nn.Module):
     channel_mult: tuple[int, ...] = (1, 2, 4)
     num_res_blocks: int = 4
     slope: float = 0.1
+    stem_factor: int = 1
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -43,11 +50,14 @@ class Backbone(nn.Module):
                  context: jax.Array | None = None):
         """(B,H,W,3)x2 [+ (B,h,w,F) context] → ((B,H,W,3) sharp, (B,h,w,C) feats).
 
-        h = H / 2**(len(channel_mult)-1); output is fp32 regardless of the
-        compute dtype (residual add + clamp-free synthesis head).
+        h = H / (stem_factor * 2**(len(channel_mult)-1)); output is fp32
+        regardless of the compute dtype (residual add + clamp-free head).
         """
+        from bin_tpu.ops.pixel_shuffle import depth_to_space, space_to_depth
+
         chans = [self.base_features * m for m in self.channel_mult]
         x = jnp.concatenate([frame_a, frame_b], axis=-1).astype(self.dtype)
+        x = space_to_depth(x, self.stem_factor)
 
         x = ConvBlock(chans[0], self.slope, dtype=self.dtype,
                       param_dtype=self.param_dtype, name="head")(x)
@@ -79,10 +89,11 @@ class Backbone(nn.Module):
         # Zero-init tail: at init every level predicts exactly the average of
         # its two inputs, keeping early pyramid levels in-range for deeper
         # ones (the residual-synthesis analog of zero-init'd output heads).
-        residual = nn.Conv(3, (3, 3), padding="SAME",
+        residual = nn.Conv(3 * self.stem_factor ** 2, (3, 3), padding="SAME",
                            kernel_init=nn.initializers.zeros,
                            dtype=self.dtype, param_dtype=self.param_dtype,
                            name="tail")(x)
+        residual = depth_to_space(residual, self.stem_factor)
         base = 0.5 * (frame_a + frame_b)
         sharp = base.astype(jnp.float32) + residual.astype(jnp.float32)
         return sharp, feats

@@ -47,7 +47,7 @@ def initial_state(cfg: ModelConfig, batch: int, height: int,
     works without binding the Flax module (it touches no parameters)."""
     if not cfg.use_convlstm:
         return []
-    f = 2 ** (len(cfg.channel_mult) - 1)
+    f = cfg.stem_factor * 2 ** (len(cfg.channel_mult) - 1)
     return [
         init_state(batch, height // f, width // f, cfg.convlstm_features)
         for _ in range(total_levels(cfg))
@@ -81,7 +81,8 @@ class BINPyramid(nn.Module):
         self.backbones = [
             Backbone(base_features=c.base_features, channel_mult=c.channel_mult,
                      num_res_blocks=c.num_res_blocks, slope=c.lrelu_slope,
-                     dtype=dtype, param_dtype=pdtype, name=f"level_{l}")
+                     stem_factor=c.stem_factor, dtype=dtype,
+                     param_dtype=pdtype, name=f"level_{l}")
             for l in range(1, n + 1)
         ]
         if c.use_convlstm:
@@ -93,7 +94,7 @@ class BINPyramid(nn.Module):
 
     @property
     def downsample_factor(self) -> int:
-        return 2 ** (len(self.cfg.channel_mult) - 1)
+        return self.cfg.stem_factor * 2 ** (len(self.cfg.channel_mult) - 1)
 
     def initial_state(self, batch: int, height: int, width: int) -> list[State]:
         return initial_state(self.cfg, batch, height, width)

@@ -64,7 +64,16 @@ def train_loop(cfg: Config, model: Model, state: TrainState,
     log_every = max(1, cfg.log.log_interval_steps)
     t_last = time.monotonic()
     frames_since = 0
+    profiler_active = False
     for i in range(num_steps):
+        # Tracing/profiling subsystem (SURVEY.md §6.1): capture a short
+        # jax.profiler trace once steady state is reached (steps 10..14).
+        if cfg.log.profile_dir and i == 10 and not profiler_active:
+            jax.profiler.start_trace(cfg.log.profile_dir)
+            profiler_active = True
+        if profiler_active and i == 15:
+            jax.profiler.stop_trace()
+            profiler_active = False
         batch = next(batches)
         frames_since += batch["blurry"].shape[0] * batch["blurry"].shape[1]
         if plan is not None:
@@ -91,6 +100,8 @@ def train(cfg: Config, workdir: str = "runs/latest",
     from bin_tpu.training import checkpoint as ckpt
 
     num_steps = num_steps or cfg.optim.num_steps
+    if cfg.log.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     os.makedirs(workdir, exist_ok=True)
     logger = MetricLogger(os.path.join(workdir, cfg.log.jsonl_path))
 

@@ -15,7 +15,7 @@ from bin_tpu.models import recurrent
 from bin_tpu.registry import build_model
 
 SMALL = ModelConfig(name="prf", base_features=8, channel_mult=(1, 2, 4),
-                    num_res_blocks=1, convlstm_features=16)
+                    num_res_blocks=1, convlstm_features=16, stem_factor=1)
 
 
 def _rand(*shape, seed=0):
@@ -126,6 +126,35 @@ def test_identity_on_static_sharp_input():
     outputs, _ = model.apply_window(params, window, [])
     # residual-around-average design: initial prediction close to the input
     assert float(jnp.mean(jnp.abs(outputs[0] - window[:, :1]))) < 0.5
+
+
+def test_pixel_shuffle_roundtrip_and_layout():
+    from bin_tpu.ops.pixel_shuffle import depth_to_space, space_to_depth
+    x = _rand(2, 8, 12, 3)
+    for f in (1, 2, 4):
+        y = space_to_depth(x, f)
+        assert y.shape == (2, 8 // f, 12 // f, 3 * f * f)
+        np.testing.assert_array_equal(np.asarray(depth_to_space(y, f)),
+                                      np.asarray(x))
+    # pixel-major layout: channel block (dy*f+dx) holds pixel (dy, dx)
+    y = np.asarray(space_to_depth(x, 2))
+    np.testing.assert_array_equal(y[0, 0, 0, 3:6], np.asarray(x)[0, 0, 1])
+
+
+def test_stem_factor_shapes():
+    """stem_factor=2 halves every internal resolution but preserves I/O."""
+    cfg = dataclasses.replace(SMALL, stem_factor=2)
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0), batch=1, height=32, width=32)
+    window = _rand(1, 4, 32, 32, 3)
+    states = model.initial_state(1, 32, 32)
+    assert states[0][0].shape == (1, 4, 4, 16)  # 32 / (2*4)
+    outputs, _ = model.apply_window(params, window, states)
+    assert outputs[0].shape == (1, 3, 32, 32, 3)  # full-res output
+    # zero-init tail: init prediction equals the pair average exactly
+    avg = 0.5 * (window[:, :-1] + window[:, 1:])
+    np.testing.assert_allclose(np.asarray(outputs[0]), np.asarray(avg),
+                               atol=1e-6)
 
 
 # -- recurrence --------------------------------------------------------------

@@ -17,7 +17,7 @@ from bin_tpu.registry import build_model
 import torch_twin as twin
 
 CFG = ModelConfig(name="prf", base_features=8, channel_mult=(1, 2, 4),
-                  num_res_blocks=1, convlstm_features=16)
+                  num_res_blocks=1, convlstm_features=16, stem_factor=1)
 
 
 def _rand(*shape, seed=0, scale=1.0):
@@ -35,17 +35,19 @@ def _randomize(params, seed=7):
     return jax.tree.unflatten(treedef, new)
 
 
-def test_backbone_parity():
-    m = Backbone(base_features=8, num_res_blocks=1)
+@pytest.mark.parametrize("stem", [1, 2])
+def test_backbone_parity(stem):
+    m = Backbone(base_features=8, num_res_blocks=1, stem_factor=stem)
     a, b = _rand(2, 32, 48, 3), _rand(2, 32, 48, 3, seed=1)
-    ctx = _rand(2, 8, 12, 16, seed=2)
+    f = 4 * stem
+    ctx = _rand(2, 32 // f, 48 // f, 16, seed=2)
     params = _randomize(m.init(jax.random.key(0), jnp.asarray(a),
                                jnp.asarray(b), jnp.asarray(ctx)))
     sharp_j, feats_j = m.apply(params, jnp.asarray(a), jnp.asarray(b),
                                jnp.asarray(ctx))
     p_np = jax.device_get(params["params"])
-    sharp_t, feats_t = twin.backbone_forward(p_np, a, b, ctx,
-                                             num_scales=3, num_res_blocks=1)
+    sharp_t, feats_t = twin.backbone_forward(p_np, a, b, ctx, num_scales=3,
+                                             num_res_blocks=1, stem_factor=stem)
     np.testing.assert_allclose(np.asarray(feats_j), feats_t, atol=2e-5)
     np.testing.assert_allclose(np.asarray(sharp_j), sharp_t, atol=2e-5)
 

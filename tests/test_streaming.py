@@ -1,0 +1,76 @@
+"""Streaming session tests: coverage, ordering, and equivalence of carried
+state with the batch clip scan."""
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from bin_tpu.config import ModelConfig
+from bin_tpu.evaluation.streaming import StreamingSession
+from bin_tpu.registry import build_model
+
+SMALL = ModelConfig(name="prf", base_features=8, channel_mult=(1, 2, 4),
+                    num_res_blocks=1, convlstm_features=16, stem_factor=1)
+
+
+def _clip(b, k, h, w, seed=0):
+    return (np.random.default_rng(seed)
+            .uniform(0, 1, (b, k, h, w, 3)).astype(np.float32))
+
+
+def test_streaming_contiguous_coverage():
+    model = build_model(SMALL)
+    params = model.init(jax.random.key(0), batch=1, height=32, width=32)
+    sess = StreamingSession(model, params, batch=1, height=32, width=32)
+    clip = _clip(1, 8, 32, 32)
+    emitted = []
+    for i in range(8):
+        for t, frame in sess.push(clip[:, i]):
+            emitted.append(t)
+            assert frame.shape == (1, 32, 32, 3)
+    # keys 0..7 → windows at 0..4 → contiguous steady coverage of 1..11
+    assert emitted == list(range(1, 12))
+    # end-of-stream flush emits the last window's trailing times
+    emitted += [t for t, _ in sess.flush()]
+    assert emitted == list(range(1, 14))
+    assert sess.flush() == []  # idempotent
+
+
+def test_streaming_reset_reproduces():
+    model = build_model(SMALL)
+    params = model.init(jax.random.key(0), batch=1, height=32, width=32)
+    sess = StreamingSession(model, params, batch=1, height=32, width=32)
+    clip = _clip(1, 5, 32, 32, seed=1)
+    out1 = [f for i in range(5) for _, f in sess.push(clip[:, i])]
+    sess.reset()
+    out2 = [f for i in range(5) for _, f in sess.push(clip[:, i])]
+    for a, b in zip(out1, out2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_streaming_state_matches_clip_scan():
+    """After streaming a clip, ConvLSTM carries must equal the batch scan's
+    final states — the streaming path IS the scan, step by step."""
+    model = build_model(SMALL)
+    params = model.init(jax.random.key(0), batch=1, height=32, width=32)
+    clip = _clip(1, 6, 32, 32, seed=2)
+
+    _, final_states = jax.jit(model.forward_clip)(params, clip)
+
+    sess = StreamingSession(model, params, batch=1, height=32, width=32)
+    for i in range(6):
+        sess.push(clip[:, i])
+    for (h_s, c_s), (h_f, c_f) in zip(sess.states, final_states):
+        np.testing.assert_allclose(np.asarray(h_s), np.asarray(h_f), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_f), atol=1e-5)
+
+
+def test_streaming_interp_only_model():
+    model = build_model(dataclasses.replace(SMALL, name="backbone"))
+    params = model.init(jax.random.key(0), batch=1, height=32, width=32)
+    sess = StreamingSession(model, params, batch=1, height=32, width=32)
+    clip = _clip(1, 6, 32, 32)
+    times = [t for i in range(6) for t, _ in sess.push(clip[:, i])]
+    times += [t for t, _ in sess.flush()]
+    assert times == [1, 3, 5, 7, 9]  # odd (midpoint) times only

@@ -62,6 +62,28 @@ def upsample2x(x: torch.Tensor) -> torch.Tensor:
     return F.interpolate(x, scale_factor=2, mode="bilinear", align_corners=False)
 
 
+def space_to_depth_np(x: np.ndarray, f: int) -> np.ndarray:
+    """NHWC numpy mirror of bin_tpu.ops.pixel_shuffle.space_to_depth
+    (pixel-major (fy, fx, C) channel layout — NOT torch pixel_unshuffle's
+    channel-major layout)."""
+    if f == 1:
+        return x
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // f, f, w // f, f, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // f, w // f, f * f * c)
+
+
+def depth_to_space_np(x: np.ndarray, f: int) -> np.ndarray:
+    if f == 1:
+        return x
+    n, h, w, cff = x.shape
+    c = cff // (f * f)
+    x = x.reshape(n, h, w, f, f, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * f, w * f, c)
+
+
 def res_block(x, p, slope=0.1):
     h = lrelu(conv_same(x, p["Conv_0"]), slope)
     return x + conv_same(h, p["Conv_1"])
@@ -69,10 +91,11 @@ def res_block(x, p, slope=0.1):
 
 def backbone_forward(params: dict, frame_a, frame_b, context=None,
                      num_scales: int = 3, num_res_blocks: int = 1,
-                     slope: float = 0.1):
+                     slope: float = 0.1, stem_factor: int = 1):
     """Twin of bin_tpu.models.backbone.Backbone.__call__ (NHWC numpy I/O)."""
     a, b = _t(frame_a), _t(frame_b)
-    x = torch.cat([a, b], dim=1)
+    stacked = np.concatenate([np.asarray(frame_a), np.asarray(frame_b)], axis=-1)
+    x = _t(space_to_depth_np(stacked, stem_factor))
     x = lrelu(conv_same(x, params["head"]["Conv_0"]), slope)
     skips = []
     for i in range(num_scales - 1):
@@ -91,9 +114,9 @@ def backbone_forward(params: dict, frame_a, frame_b, context=None,
         x = lrelu(conv_same(up, params[f"up_{i}"]["Conv_0"]), slope)
         x = x + skips[i]
         x = res_block(x, params[f"dec_{i}"], slope)
-    residual = conv_same(x, params["tail"])
-    sharp = 0.5 * (a + b) + residual
-    return _n(sharp), _n(feats)
+    residual = depth_to_space_np(_n(conv_same(x, params["tail"])), stem_factor)
+    sharp = _n(0.5 * (a + b)) + residual
+    return sharp, _n(feats)
 
 
 def convlstm_forward(params: dict, x, h, c, forget_bias: float = 1.0):
@@ -108,7 +131,8 @@ def convlstm_forward(params: dict, x, h, c, forget_bias: float = 1.0):
 
 def pyramid_forward(params: dict, window, num_levels_total: int,
                     use_convlstm: bool, states=None,
-                    num_scales: int = 3, num_res_blocks: int = 1):
+                    num_scales: int = 3, num_res_blocks: int = 1,
+                    stem_factor: int = 1):
     """Twin of BINPyramid.__call__: window (B,K,H,W,3) NHWC numpy."""
     window = np.asarray(window)
     b, k = window.shape[:2]
@@ -120,7 +144,8 @@ def pyramid_forward(params: dict, window, num_levels_total: int,
         for a, fb in zip(frames[:-1], frames[1:]):
             ctx = states[li][0] if use_convlstm else None
             sharp, feat = backbone_forward(bb, a, fb, ctx, num_scales,
-                                           num_res_blocks)
+                                           num_res_blocks,
+                                           stem_factor=stem_factor)
             outs.append(sharp)
             feats.append(feat)
         outputs.append(np.stack(outs, axis=1))
