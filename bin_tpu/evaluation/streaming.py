@@ -85,7 +85,12 @@ class StreamingSession:
         if key_frames.shape != (self.batch, self.height, self.width, 3):
             raise ValueError(f"expected {(self.batch, self.height, self.width, 3)},"
                              f" got {key_frames.shape}")
-        self._window.append(jnp.asarray(key_frames))
+        from bin_tpu.ops.pixel_shuffle import space_to_depth
+        # pack on arrival: the window buffer and the pyramid stay in packed
+        # domain; frames unpack only on emission (see models/backbone.py)
+        packed = space_to_depth(jnp.asarray(key_frames),
+                                self.model.cfg.stem_factor)
+        self._window.append(packed)
         self._keys_seen += 1
         if len(self._window) > self.k:
             self._window.pop(0)
@@ -97,7 +102,8 @@ class StreamingSession:
         first = self._keys_seen == self.k
         window_start_t = 2 * (self._keys_seen - self.k)
         self._last_outputs, self._last_start_t = outputs, window_start_t
-        return [(window_start_t + t, np.asarray(outputs[li][:, j]))
+        return [(window_start_t + t,
+                 np.asarray(self.model.unpack(outputs[li][:, j])))
                 for li, j, t in self._emit_plan(first)]
 
     def flush(self) -> list[tuple[int, np.ndarray]]:
@@ -115,7 +121,8 @@ class StreamingSession:
                 if t in times_by_level[li]:
                     plan.append((li, times_by_level[li].index(t), t))
                     break
-        out = [(self._last_start_t + t, np.asarray(self._last_outputs[li][:, j]))
+        out = [(self._last_start_t + t,
+                np.asarray(self.model.unpack(self._last_outputs[li][:, j])))
                for li, j, t in plan]
         self._last_outputs = None
         return out

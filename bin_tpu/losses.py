@@ -40,15 +40,22 @@ def gradient_loss(pred: jax.Array, target: jax.Array, eps: float = 1e-6) -> jax.
 
 
 def pyramid_loss(outputs: list[jax.Array], gt: jax.Array,
-                 cfg: LossConfig, window_size: int) -> tuple[jax.Array, dict]:
+                 cfg: LossConfig, window_size: int,
+                 stem_factor: int = 1) -> tuple[jax.Array, dict]:
     """Deep-supervised loss for one window step.
 
     outputs: per-level lists from BINPyramid — level l entry shaped
-             (B, window_size-1-l, H, W, 3) at times l, l+2, ...
-    gt:      (B, 2*window_size-1, H, W, 3) sharp frames on the window's
-             2x-rate output grid.
+             (B, window_size-1-l, h, w, C) at times l, l+2, ...
+    gt:      (B, 2*window_size-1, h, w, C) sharp frames on the window's
+             2x-rate output grid, in the SAME (packed or unpacked) domain
+             as the outputs.
+
+    Charbonnier and cycle terms are pointwise — identical in packed domain.
+    The gradient-perceptual term is spatial, so with ``stem_factor > 1`` it
+    unpacks its operands first (only when perceptual_weight > 0).
     """
     from bin_tpu.models.pyramid import level_output_times
+    from bin_tpu.ops.pixel_shuffle import depth_to_space
 
     total = jnp.float32(0.0)
     aux: dict[str, jax.Array] = {}
@@ -62,7 +69,8 @@ def pyramid_loss(outputs: list[jax.Array], gt: jax.Array,
         term = charbonnier(out, level_gt, cfg.charbonnier_eps)
         if cfg.perceptual_weight > 0.0:
             term = term + cfg.perceptual_weight * gradient_loss(
-                out, level_gt, cfg.charbonnier_eps)
+                depth_to_space(out, stem_factor),
+                depth_to_space(level_gt, stem_factor), cfg.charbonnier_eps)
         aux[f"loss_level{level}"] = term
         total = total + weight * term
         if center_t in times:

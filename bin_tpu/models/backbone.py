@@ -48,16 +48,20 @@ class Backbone(nn.Module):
     @nn.compact
     def __call__(self, frame_a: jax.Array, frame_b: jax.Array,
                  context: jax.Array | None = None):
-        """(B,H,W,3)x2 [+ (B,h,w,F) context] → ((B,H,W,3) sharp, (B,h,w,C) feats).
+        """Two PACKED frames → (packed sharp frame, bottleneck feats).
 
-        h = H / (stem_factor * 2**(len(channel_mult)-1)); output is fp32
-        regardless of the compute dtype (residual add + clamp-free head).
+        Packed domain: frames are space-to-depth'd by ``stem_factor``, i.e.
+        (B, H/f, W/f, 3*f^2) — the caller (BINPyramid) packs the window ONCE
+        and every level passes packed frames straight through, so no
+        full-resolution reshape/copy appears anywhere inside the pyramid
+        (per-op traces showed those transposes + fp32 720p copies eating
+        ~1/3 of the window step before this design).  Charbonnier/PSNR are
+        pointwise and therefore identical in packed domain; only final
+        assembly/eval unpacks.  The residual is added to the packed pair
+        average in fp32, then cast back to the compute dtype.
         """
-        from bin_tpu.ops.pixel_shuffle import depth_to_space, space_to_depth
-
         chans = [self.base_features * m for m in self.channel_mult]
         x = jnp.concatenate([frame_a, frame_b], axis=-1).astype(self.dtype)
-        x = space_to_depth(x, self.stem_factor)
 
         x = ConvBlock(chans[0], self.slope, dtype=self.dtype,
                       param_dtype=self.param_dtype, name="head")(x)
@@ -93,7 +97,6 @@ class Backbone(nn.Module):
                            kernel_init=nn.initializers.zeros,
                            dtype=self.dtype, param_dtype=self.param_dtype,
                            name="tail")(x)
-        residual = depth_to_space(residual, self.stem_factor)
-        base = 0.5 * (frame_a + frame_b)
-        sharp = base.astype(jnp.float32) + residual.astype(jnp.float32)
+        base = 0.5 * (frame_a.astype(jnp.float32) + frame_b.astype(jnp.float32))
+        sharp = (base + residual.astype(jnp.float32)).astype(self.dtype)
         return sharp, feats

@@ -100,31 +100,40 @@ class BINPyramid(nn.Module):
         return initial_state(self.cfg, batch, height, width)
 
     def __call__(self, window: jax.Array, states: list[State]):
-        """window (B, K, H, W, 3) blurry keys; states as from initial_state.
+        """window (B, K, H, W, 3) blurry keys (unpacked), OR already-packed
+        (B, K, H/f, W/f, 3f^2) frames; states as from initial_state.
 
         Returns (outputs, new_states): outputs is a list over levels, entry l
-        shaped (B, K-1-l, H, W, 3) fp32 — the sharp frames at that level's
-        timestamps (see level_output_times).
+        shaped (B, K-1-l, H/f, W/f, 3f^2) in the compute dtype — PACKED
+        sharp frames at that level's timestamps (see level_output_times).
+        Unpack with ``bin_tpu.ops.pixel_shuffle.depth_to_space(o, f)``; the
+        Charbonnier loss and PSNR are pointwise and can consume packed
+        frames directly (see backbone.py for why packing stays internal).
         """
+        from bin_tpu.ops.pixel_shuffle import space_to_depth
+
         c = self.cfg
+        if window.shape[-1] == 3:
+            window = space_to_depth(window, c.stem_factor)
         b, k, h, w, _ = window.shape
         if k != c.window_size:
             raise ValueError(f"window has {k} keys, config says {c.window_size}")
 
-        frames = window  # (B, P+1, H, W, 3) at each level
+        frames = window  # (B, P+1, h, w, 3f^2) at each level
         outputs = []
         new_states = []
+        cpk = window.shape[-1]  # packed channel count (3 * stem_factor^2)
         for idx, backbone in enumerate(self.backbones):
             p = frames.shape[1] - 1  # pairs at this level
-            pa = frames[:, :-1].reshape(b * p, h, w, 3)
-            pb = frames[:, 1:].reshape(b * p, h, w, 3)
+            pa = frames[:, :-1].reshape(b * p, h, w, cpk)
+            pb = frames[:, 1:].reshape(b * p, h, w, cpk)
             if c.use_convlstm:
                 hid = states[idx][0]
                 ctx = jnp.repeat(hid, p, axis=0)  # (B*P, h', w', F), pair-broadcast
             else:
                 ctx = None
             sharp, feats = backbone(pa, pb, context=ctx)
-            sharp = sharp.reshape(b, p, h, w, 3)
+            sharp = sharp.reshape(b, p, h, w, cpk)
             outputs.append(sharp)
             if c.use_convlstm:
                 fh, fw, fc = feats.shape[1:]

@@ -36,16 +36,24 @@ def num_windows(num_keys: int, window_size: int) -> int:
 
 
 def scan_windows(apply_fn: Callable, params: Any, blurry: jax.Array,
-                 init_states: list, window_size: int):
+                 init_states: list, window_size: int, stem_factor: int = 1):
     """Run the pyramid over every sliding window of a clip.
 
     apply_fn(params, window, states) -> (outputs, new_states)
     blurry: (B, K_total, H, W, 3)
 
+    The clip is packed (space-to-depth) ONCE here, outside the scan, so the
+    scan body slices packed frames and no full-resolution layout change
+    appears inside the loop.
+
     Returns (stacked_outputs, final_states): stacked_outputs is a list over
-    levels, entry l shaped (S, B, P_l, H, W, 3) with S = number of windows.
+    levels, entry l shaped (S, B, P_l, H/f, W/f, 3f^2) PACKED, with S =
+    number of windows (unpack via assemble_clip / depth_to_space).
     """
+    from bin_tpu.ops.pixel_shuffle import space_to_depth
+
     n = num_windows(blurry.shape[1], window_size)
+    blurry = space_to_depth(blurry, stem_factor)
 
     def body(states, start):
         window = jax.lax.dynamic_slice_in_dim(blurry, start, window_size, axis=1)
@@ -67,16 +75,23 @@ def clip_loss(apply_fn: Callable, params: Any, blurry: jax.Array,
     apply_fn for long clips).
     """
     from bin_tpu.losses import pyramid_loss
+    from bin_tpu.ops.pixel_shuffle import space_to_depth
 
     k = model_cfg.window_size
     n = num_windows(blurry.shape[1], k)
     gt_span = 2 * k - 1
+    # Pack inputs AND ground truth once, outside the scan: the Charbonnier
+    # terms are pointwise, so supervising packed outputs against packed GT
+    # is numerically identical to full-resolution supervision.
+    f = model_cfg.stem_factor
+    blurry = space_to_depth(blurry, f)
+    sharp = space_to_depth(sharp, f)
 
     def body(states, start):
         window = jax.lax.dynamic_slice_in_dim(blurry, start, k, axis=1)
         gt = jax.lax.dynamic_slice_in_dim(sharp, 2 * start, gt_span, axis=1)
         outputs, new_states = apply_fn(params, window, states)
-        loss, aux = pyramid_loss(outputs, gt, loss_cfg, k)
+        loss, aux = pyramid_loss(outputs, gt, loss_cfg, k, stem_factor=f)
         return new_states, (loss, aux)
 
     starts = jnp.arange(n)
@@ -121,15 +136,22 @@ def covered_times(num_keys: int, window_size: int, levels: int) -> list[int]:
 
 
 def assemble_clip(stacked_outputs: list[jax.Array], num_keys: int,
-                  window_size: int) -> tuple[jax.Array, np.ndarray]:
+                  window_size: int, stem_factor: int = 1
+                  ) -> tuple[jax.Array, np.ndarray]:
     """Assemble the 2x-rate sharp video from scanned pyramid outputs.
 
-    stacked_outputs: per level, (S, B, P_l, H, W, 3) as from scan_windows.
-    Returns (video, times): video (B, T_cov, H, W, 3) and the global output
-    timestamps (ascending) each frame corresponds to.
+    stacked_outputs: per level, PACKED (S, B, P_l, h, w, 3f^2) as from
+    scan_windows.  The single depth-to-space back to full resolution (and
+    the cast to fp32) happens here, on the assembled video only.
+
+    Returns (video, times): video (B, T_cov, H, W, 3) fp32 and the global
+    output timestamps (ascending) each frame corresponds to.
     """
+    from bin_tpu.ops.pixel_shuffle import depth_to_space
+
     levels = len(stacked_outputs)
     plan = assembly_plan(num_keys, window_size, levels)
     times = sorted(plan)
     frames = [stacked_outputs[plan[t][0]][plan[t][1], :, plan[t][2]] for t in times]
-    return jnp.stack(frames, axis=1), np.asarray(times)
+    video = jnp.stack(frames, axis=1).astype(jnp.float32)
+    return depth_to_space(video, stem_factor), np.asarray(times)

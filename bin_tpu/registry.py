@@ -61,29 +61,38 @@ class Model:
 
     # -- forward ----------------------------------------------------------
     def apply_window(self, params: Any, window: jax.Array, states: list):
-        """One pyramid forward: (B,K,H,W,3) → (per-level outputs, states)."""
+        """One pyramid forward.  window: (B,K,H,W,3) unpacked or packed
+        (B,K,H/f,W/f,3f^2); outputs are PACKED per-level frames — see
+        BINPyramid.__call__ and Model.unpack."""
         return self.module.apply({"params": params}, window, states)
+
+    def unpack(self, frames: jax.Array) -> jax.Array:
+        """Packed (…, h, w, 3f^2) model outputs → fp32 (…, H, W, 3)."""
+        from bin_tpu.ops.pixel_shuffle import depth_to_space
+        return depth_to_space(frames.astype(jnp.float32), self.cfg.stem_factor)
 
     def _apply_fn(self, params, window, states):
         return self.module.apply({"params": params}, window, states)
 
     def forward_clip(self, params: Any, blurry: jax.Array):
-        """Scan a whole clip: (B,Kt,H,W,3) → (stacked per-level outputs,
-        final ConvLSTM states)."""
+        """Scan a whole clip: (B,Kt,H,W,3) → (stacked PACKED per-level
+        outputs, final ConvLSTM states)."""
         b, _, h, w, _ = blurry.shape
         states = self.initial_state(b, h, w)
         return recurrent.scan_windows(self._apply_fn, params, blurry, states,
-                                      self.cfg.window_size)
+                                      self.cfg.window_size,
+                                      self.cfg.stem_factor)
 
     def infer_clip(self, params: Any, blurry: jax.Array):
         """Full joint deblur + 2x interpolation of a clip.
 
-        Returns (video, times): (B, T_cov, H, W, 3) assembled sharp output
-        and the global 2x-grid timestamps covered (numpy, static).
+        Returns (video, times): (B, T_cov, H, W, 3) fp32 assembled sharp
+        output and the global 2x-grid timestamps covered (numpy, static).
         """
         outputs, _ = self.forward_clip(params, blurry)
         return recurrent.assemble_clip(outputs, blurry.shape[1],
-                                       self.cfg.window_size)
+                                       self.cfg.window_size,
+                                       self.cfg.stem_factor)
 
     def loss_clip(self, params: Any, blurry: jax.Array, sharp: jax.Array,
                   loss_cfg: LossConfig):

@@ -142,7 +142,7 @@ def test_pixel_shuffle_roundtrip_and_layout():
 
 
 def test_stem_factor_shapes():
-    """stem_factor=2 halves every internal resolution but preserves I/O."""
+    """stem_factor=2: the pyramid runs fully packed; unpack restores I/O."""
     cfg = dataclasses.replace(SMALL, stem_factor=2)
     model = build_model(cfg)
     params = model.init(jax.random.key(0), batch=1, height=32, width=32)
@@ -150,11 +150,18 @@ def test_stem_factor_shapes():
     states = model.initial_state(1, 32, 32)
     assert states[0][0].shape == (1, 4, 4, 16)  # 32 / (2*4)
     outputs, _ = model.apply_window(params, window, states)
-    assert outputs[0].shape == (1, 3, 32, 32, 3)  # full-res output
+    assert outputs[0].shape == (1, 3, 16, 16, 12)  # packed domain
+    unpacked = model.unpack(outputs[0])
+    assert unpacked.shape == (1, 3, 32, 32, 3)
     # zero-init tail: init prediction equals the pair average exactly
     avg = 0.5 * (window[:, :-1] + window[:, 1:])
-    np.testing.assert_allclose(np.asarray(outputs[0]), np.asarray(avg),
+    np.testing.assert_allclose(np.asarray(unpacked), np.asarray(avg),
                                atol=1e-6)
+    # end-to-end: infer_clip returns full-resolution fp32 video
+    clip = _rand(1, 5, 32, 32, 3, seed=9)
+    video, times = model.infer_clip(params, clip)
+    assert video.shape == (1, len(times), 32, 32, 3)
+    assert video.dtype == jnp.float32
 
 
 # -- recurrence --------------------------------------------------------------

@@ -37,17 +37,20 @@ def _randomize(params, seed=7):
 
 @pytest.mark.parametrize("stem", [1, 2])
 def test_backbone_parity(stem):
+    """Backbone operates in packed domain: inputs have 3*stem^2 channels."""
     m = Backbone(base_features=8, num_res_blocks=1, stem_factor=stem)
-    a, b = _rand(2, 32, 48, 3), _rand(2, 32, 48, 3, seed=1)
-    f = 4 * stem
-    ctx = _rand(2, 32 // f, 48 // f, 16, seed=2)
+    cpk = 3 * stem * stem
+    h, w = 32 // stem, 48 // stem
+    a, b = _rand(2, h, w, cpk), _rand(2, h, w, cpk, seed=1)
+    ctx = _rand(2, h // 4, w // 4, 16, seed=2)
     params = _randomize(m.init(jax.random.key(0), jnp.asarray(a),
                                jnp.asarray(b), jnp.asarray(ctx)))
     sharp_j, feats_j = m.apply(params, jnp.asarray(a), jnp.asarray(b),
                                jnp.asarray(ctx))
+    assert sharp_j.shape == (2, h, w, cpk)
     p_np = jax.device_get(params["params"])
     sharp_t, feats_t = twin.backbone_forward(p_np, a, b, ctx, num_scales=3,
-                                             num_res_blocks=1, stem_factor=stem)
+                                             num_res_blocks=1)
     np.testing.assert_allclose(np.asarray(feats_j), feats_t, atol=2e-5)
     np.testing.assert_allclose(np.asarray(sharp_j), sharp_t, atol=2e-5)
 
@@ -65,27 +68,28 @@ def test_convlstm_parity():
     np.testing.assert_allclose(np.asarray(c_j), c_t, atol=1e-5)
 
 
-@pytest.mark.parametrize("name", ["pyramid", "prf"])
-def test_pyramid_parity_two_window_steps(name):
-    model = build_model(dataclasses.replace(CFG, name=name))
+@pytest.mark.parametrize("name,stem", [("pyramid", 1), ("prf", 1), ("prf", 2)])
+def test_pyramid_parity_two_window_steps(name, stem):
+    model = build_model(dataclasses.replace(CFG, name=name, stem_factor=stem))
     params = _randomize(model.init(jax.random.key(0), batch=1,
                                    height=32, width=32))
     p_np = jax.device_get(params)
     use_lstm = name == "prf"
+    s = 32 // (4 * stem)  # bottleneck resolution
 
     w1 = _rand(1, 4, 32, 32, 3, seed=3)
     w2 = _rand(1, 4, 32, 32, 3, seed=4)
     states_j = model.initial_state(1, 32, 32)
-    states_t = ([(np.zeros((1, 8, 8, 16), np.float32),
-                  np.zeros((1, 8, 8, 16), np.float32)) for _ in range(3)]
+    states_t = ([(np.zeros((1, s, s, 16), np.float32),
+                  np.zeros((1, s, s, 16), np.float32)) for _ in range(3)]
                 if use_lstm else None)
 
     for w in (w1, w2):  # two steps: checks state carry parity too
         outs_j, states_j = model.apply_window(params, jnp.asarray(w), states_j)
         outs_t, states_t2 = twin.pyramid_forward(
             p_np, w, num_levels_total=3, use_convlstm=use_lstm,
-            states=states_t, num_scales=3, num_res_blocks=1)
-        for oj, ot in zip(outs_j, outs_t):
+            states=states_t, num_scales=3, num_res_blocks=1, stem_factor=stem)
+        for oj, ot in zip(outs_j, outs_t):  # both PACKED domain
             np.testing.assert_allclose(np.asarray(oj), ot, atol=5e-5)
         if use_lstm:
             for (hj, cj), (ht, ct) in zip(states_j, states_t2):

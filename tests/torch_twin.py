@@ -91,11 +91,13 @@ def res_block(x, p, slope=0.1):
 
 def backbone_forward(params: dict, frame_a, frame_b, context=None,
                      num_scales: int = 3, num_res_blocks: int = 1,
-                     slope: float = 0.1, stem_factor: int = 1):
-    """Twin of bin_tpu.models.backbone.Backbone.__call__ (NHWC numpy I/O)."""
+                     slope: float = 0.1):
+    """Twin of bin_tpu.models.backbone.Backbone.__call__ (NHWC numpy I/O).
+
+    PACKED domain like the flax module: frames arrive space-to-depth'd
+    (channels 3*f^2); the caller packs/unpacks (see pyramid_forward)."""
     a, b = _t(frame_a), _t(frame_b)
-    stacked = np.concatenate([np.asarray(frame_a), np.asarray(frame_b)], axis=-1)
-    x = _t(space_to_depth_np(stacked, stem_factor))
+    x = torch.cat([a, b], dim=1)
     x = lrelu(conv_same(x, params["head"]["Conv_0"]), slope)
     skips = []
     for i in range(num_scales - 1):
@@ -114,9 +116,9 @@ def backbone_forward(params: dict, frame_a, frame_b, context=None,
         x = lrelu(conv_same(up, params[f"up_{i}"]["Conv_0"]), slope)
         x = x + skips[i]
         x = res_block(x, params[f"dec_{i}"], slope)
-    residual = depth_to_space_np(_n(conv_same(x, params["tail"])), stem_factor)
-    sharp = _n(0.5 * (a + b)) + residual
-    return sharp, _n(feats)
+    residual = conv_same(x, params["tail"])
+    sharp = 0.5 * (a + b) + residual
+    return _n(sharp), _n(feats)
 
 
 def convlstm_forward(params: dict, x, h, c, forget_bias: float = 1.0):
@@ -133,10 +135,11 @@ def pyramid_forward(params: dict, window, num_levels_total: int,
                     use_convlstm: bool, states=None,
                     num_scales: int = 3, num_res_blocks: int = 1,
                     stem_factor: int = 1):
-    """Twin of BINPyramid.__call__: window (B,K,H,W,3) NHWC numpy."""
+    """Twin of BINPyramid.__call__: window (B,K,H,W,3) NHWC numpy; packs
+    once at the window level, returns PACKED outputs like the flax model."""
     window = np.asarray(window)
     b, k = window.shape[:2]
-    frames = [window[:, i] for i in range(k)]
+    frames = [space_to_depth_np(window[:, i], stem_factor) for i in range(k)]
     outputs, new_states = [], []
     for li in range(num_levels_total):
         bb = params[f"level_{li + 1}"]
@@ -144,8 +147,7 @@ def pyramid_forward(params: dict, window, num_levels_total: int,
         for a, fb in zip(frames[:-1], frames[1:]):
             ctx = states[li][0] if use_convlstm else None
             sharp, feat = backbone_forward(bb, a, fb, ctx, num_scales,
-                                           num_res_blocks,
-                                           stem_factor=stem_factor)
+                                           num_res_blocks)
             outs.append(sharp)
             feats.append(feat)
         outputs.append(np.stack(outs, axis=1))
