@@ -115,17 +115,33 @@ def main(argv=None):
     log(f"per-clip device time {dt * 1e3:.1f} ms for {out_frames} output "
         f"frames (t1={t1 * 1e3:.0f} ms, t{args.iters}={tn * 1e3:.0f} ms)")
 
-    # FLOPs of the compiled program → A100-equivalent eager reference fps
+    # FLOPs → A100-equivalent eager reference fps.  XLA cost_analysis counts
+    # a lax.scan body ONCE regardless of trip count (verified in this
+    # environment), so lower a single WINDOW step and multiply by the number
+    # of windows instead of lowering the scanned clip program.
     vs_baseline = None
     flops_per_frame = None
     try:
-        cost = infer.lower(params, blurry).compile().cost_analysis()
-        total_flops = float(cost.get("flops", 0.0))
-        if total_flops > 0:
-            flops_per_frame = total_flops / out_frames
+        from bin_tpu.models.recurrent import num_windows
+        n_win = num_windows(k, cfg.model.window_size)
+        window = blurry[:, : cfg.model.window_size]
+        states = model.initial_state(b, h, w)
+
+        def one_window(p, w, s):
+            outs, ns = model.apply_window(p, w, s)
+            return (sum(jnp.sum(o) for o in outs)
+                    + sum(jnp.sum(x) + jnp.sum(c) for x, c in ns))
+
+        cost = (jax.jit(one_window).lower(params, window, states)
+                .compile().cost_analysis())
+        window_flops = float(cost.get("flops", 0.0))
+        if window_flops > 0:
+            flops_per_frame = window_flops * n_win / out_frames
             a100_fps = A100_PEAK_FLOPS * EAGER_MFU / flops_per_frame
             vs_baseline = fps / a100_fps
-            log(f"HLO flops/output-frame: {flops_per_frame:.3e}; "
+            log(f"window flops {window_flops:.3e} x {n_win} windows -> "
+                f"{flops_per_frame:.3e}/output-frame; effective "
+                f"{flops_per_frame * fps / 1e12:.1f} TFLOP/s; "
                 f"estimated eager-A100 fps: {a100_fps:.2f}")
     except Exception as e:  # cost analysis is best-effort on experimental PJRT
         log(f"cost_analysis unavailable: {e}")

@@ -223,8 +223,11 @@ def config4_gopro_720p() -> Config:
 def config5_v5e_streaming() -> Config:
     return Config(
         preset="config5_v5e_streaming",
+        # Throughput preset: stem 4 keeps every conv at >=C256 (measured
+        # 43.3 vs 33.6 output fps at stem 2 — BASELINE.md); equal FLOP
+        # budget to the stem-2 quality presets.
         model=ModelConfig(name="prf", num_levels=2, use_convlstm=True,
-                          cycle_level=True, base_features=128,
+                          cycle_level=True, base_features=256, stem_factor=4,
                           dtype="bfloat16"),
         data=DataConfig(dataset="gopro", crop_size=(128, 128),
                         eval_size=(720, 1280), seq_len=6, batch_size=8),

@@ -28,10 +28,16 @@ __all__ = ["SyntheticSource", "train_iterator", "eval_clips"]
 
 
 class SyntheticSource:
-    """Procedural source of blurry/sharp samples (see synthetic.py)."""
+    """Procedural source of blurry/sharp samples (see synthetic.py).
+
+    ``cache=True`` keeps rendered samples in RAM after first access — on the
+    1-CPU-core host, re-rendering a clip (~50 sub-frames) per draw would
+    starve the TPU; cached epochs reduce the loader to crop/flip cost.
+    """
 
     def __init__(self, num_samples: int, num_keys: int, height: int, width: int,
-                 taps: int = 11, stride: int = 8, seed: int = 0):
+                 taps: int = 11, stride: int = 8, seed: int = 0,
+                 cache: bool = False):
         self.num_samples = num_samples
         self.num_keys = num_keys
         self.height = height
@@ -39,6 +45,7 @@ class SyntheticSource:
         self.taps = taps
         self.stride = stride
         self.seed = seed
+        self._cache: dict[int, dict[str, np.ndarray]] | None = {} if cache else None
 
     def __len__(self) -> int:
         return self.num_samples
@@ -46,9 +53,14 @@ class SyntheticSource:
     def __getitem__(self, i: int) -> dict[str, np.ndarray]:
         if not 0 <= i < self.num_samples:
             raise IndexError(i)
-        return synthetic.make_sample(self.seed * 1_000_003 + i, self.num_keys,
-                                     self.height, self.width, self.taps,
-                                     self.stride)
+        if self._cache is not None and i in self._cache:
+            return self._cache[i]
+        sample = synthetic.make_sample(self.seed * 1_000_003 + i, self.num_keys,
+                                       self.height, self.width, self.taps,
+                                       self.stride)
+        if self._cache is not None:
+            self._cache[i] = sample
+        return sample
 
 
 def _random_crop_flip(sample: dict[str, np.ndarray], crop_hw: tuple[int, int],

@@ -142,6 +142,7 @@ def _make_source(cfg: Config):
         return SyntheticSource(num_samples=256, num_keys=cfg.data.seq_len,
                                height=ch + 16, width=cw + 16,  # room to crop
                                taps=cfg.data.blur_taps,
-                               stride=cfg.data.blur_stride, seed=cfg.seed)
+                               stride=cfg.data.blur_stride, seed=cfg.seed,
+                               cache=True)
     from bin_tpu.data.frames import FrameFolderSource
     return FrameFolderSource(cfg.data.root, num_keys=cfg.data.seq_len)
