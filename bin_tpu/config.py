@@ -46,6 +46,11 @@ class ModelConfig:
                                    # frame for the cycle-consistency loss
     dtype: str = "float32"         # compute dtype ("float32" | "bfloat16")
     param_dtype: str = "float32"   # master weights always fp32
+    remat: bool = False            # jax.checkpoint each window step inside
+                                   # the training scan: activations of a
+                                   # window are recomputed in backward, so
+                                   # train memory is O(1) in clip length
+                                   # (SURVEY.md §8 'trade FLOPs for memory')
 
 
 @dataclass(frozen=True)

@@ -67,9 +67,13 @@ class FrameFolderSource:
     """
 
     def __init__(self, root: str, num_keys: int | None = 4,
-                 chunk_stride: int = 2, cache_frames: bool = False):
+                 chunk_stride: int = 2, cache_frames: bool = False,
+                 resize_to: tuple[int, int] | None = None):
+        """``resize_to=(H, W)``: bilinear-resize frames on load — the
+        Adobe240 protocol evaluates at 640x352 (half resolution) [P]."""
         self.blurry = list_clips(root, "blurry")
         self.sharp = list_clips(root, "sharp")
+        self.resize_to = resize_to
         missing = set(self.blurry) ^ set(self.sharp)
         if missing:
             raise ValueError(f"blurry/sharp clip mismatch: {sorted(missing)[:5]}")
@@ -96,11 +100,21 @@ class FrameFolderSource:
     def __len__(self) -> int:
         return len(self.index)
 
+    def _load_maybe_resize(self, path: str) -> np.ndarray:
+        frame = self._load(path)
+        if self.resize_to is not None and frame.shape[:2] != self.resize_to:
+            from PIL import Image
+            h, w = self.resize_to
+            img = Image.fromarray((frame * 255.0 + 0.5).astype(np.uint8))
+            frame = (np.asarray(img.resize((w, h), Image.BILINEAR))
+                     .astype(np.float32) / 255.0)
+        return frame
+
     def __getitem__(self, i: int) -> dict[str, np.ndarray]:
         clip_id, start, keys = self.index[i]
         b_paths = self.blurry[clip_id][start: start + keys]
         s_paths = self.sharp[clip_id][2 * start: 2 * start + 2 * keys - 1]
         return {
-            "blurry": np.stack([self._load(p) for p in b_paths]),
-            "sharp": np.stack([self._load(p) for p in s_paths]),
+            "blurry": np.stack([self._load_maybe_resize(p) for p in b_paths]),
+            "sharp": np.stack([self._load_maybe_resize(p) for p in s_paths]),
         }

@@ -87,6 +87,11 @@ def clip_loss(apply_fn: Callable, params: Any, blurry: jax.Array,
     blurry = space_to_depth(blurry, f)
     sharp = space_to_depth(sharp, f)
 
+    if model_cfg.remat:
+        # Recompute each window's activations during backward: training
+        # memory stays O(window) instead of O(clip) at ~1.3x FLOPs.
+        apply_fn = jax.checkpoint(apply_fn, static_argnums=())
+
     def body(states, start):
         window = jax.lax.dynamic_slice_in_dim(blurry, start, k, axis=1)
         gt = jax.lax.dynamic_slice_in_dim(sharp, 2 * start, gt_span, axis=1)

@@ -11,5 +11,10 @@ parameters replicated, and optionally activation-height sharding over a
 from bin_tpu.parallel.mesh import (
     make_mesh, batch_sharding, replicated, shard_batch, MeshPlan,
 )
+from bin_tpu.parallel.distributed import (
+    maybe_initialize, is_multi_host, process_batch_slice,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch", "MeshPlan"]
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch",
+           "MeshPlan", "maybe_initialize", "is_multi_host",
+           "process_batch_slice"]
