@@ -47,14 +47,22 @@ def list_clips(root: str, split: str) -> dict[str, list[str]]:
 
 def load_frame(path: str) -> np.ndarray:
     """Load one frame as (H, W, 3) float32 in [0, 1]."""
+    arr = load_frame_u8(path, allow_float=True)
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 255.0
+    return np.ascontiguousarray(arr.astype(np.float32))
+
+
+def load_frame_u8(path: str, allow_float: bool = False) -> np.ndarray:
+    """Load one frame as (H, W, 3) uint8 (native crop path)."""
     if path.endswith(".npy"):
         arr = np.load(path)
     else:
         from PIL import Image
         arr = np.asarray(Image.open(path).convert("RGB"))
-    if arr.dtype == np.uint8:
-        arr = arr.astype(np.float32) / 255.0
-    return np.ascontiguousarray(arr.astype(np.float32))
+    if arr.dtype != np.uint8 and not allow_float:
+        arr = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    return np.ascontiguousarray(arr)
 
 
 class FrameFolderSource:
@@ -68,12 +76,18 @@ class FrameFolderSource:
 
     def __init__(self, root: str, num_keys: int | None = 4,
                  chunk_stride: int = 2, cache_frames: bool = False,
-                 resize_to: tuple[int, int] | None = None):
+                 resize_to: tuple[int, int] | None = None,
+                 raw_u8: bool = False):
         """``resize_to=(H, W)``: bilinear-resize frames on load — the
-        Adobe240 protocol evaluates at 640x352 (half resolution) [P]."""
+        Adobe240 protocol evaluates at 640x352 (half resolution) [P].
+        ``raw_u8``: return uint8 frames (train path: the pipeline's fused
+        native crop+normalize consumes them; incompatible with resize_to)."""
         self.blurry = list_clips(root, "blurry")
         self.sharp = list_clips(root, "sharp")
         self.resize_to = resize_to
+        self.raw_u8 = raw_u8
+        if raw_u8 and resize_to is not None:
+            raise ValueError("raw_u8 and resize_to are mutually exclusive")
         missing = set(self.blurry) ^ set(self.sharp)
         if missing:
             raise ValueError(f"blurry/sharp clip mismatch: {sorted(missing)[:5]}")
@@ -101,6 +115,8 @@ class FrameFolderSource:
         return len(self.index)
 
     def _load_maybe_resize(self, path: str) -> np.ndarray:
+        if self.raw_u8:
+            return load_frame_u8(path)
         frame = self._load(path)
         if self.resize_to is not None and frame.shape[:2] != self.resize_to:
             from PIL import Image

@@ -65,21 +65,36 @@ class SyntheticSource:
 
 def _random_crop_flip(sample: dict[str, np.ndarray], crop_hw: tuple[int, int],
                       rng: np.random.Generator, flip: bool) -> dict[str, np.ndarray]:
-    """Shared spatial crop + flip across the blurry/sharp frame stacks."""
+    """Shared spatial crop + flip across the blurry/sharp frame stacks.
+
+    uint8 samples (FrameFolderSource(raw_u8=True)) take the fused native
+    crop+flip+normalize kernel (bin_tpu._fastops) — one pass instead of
+    slice + copy + cast on the single-core host.
+    """
     ch, cw = crop_hw
     h, w = sample["blurry"].shape[1:3]
     if h < ch or w < cw:
         raise ValueError(f"sample {h}x{w} smaller than crop {ch}x{cw}")
     y0 = int(rng.integers(0, h - ch + 1))
     x0 = int(rng.integers(0, w - cw + 1))
-    out = {k: v[:, y0:y0 + ch, x0:x0 + cw] for k, v in sample.items()}
+    fw = fh = ft = False
     if flip:
-        if rng.random() < 0.5:
-            out = {k: v[:, :, ::-1] for k, v in out.items()}
-        if rng.random() < 0.5:
-            out = {k: v[:, ::-1] for k, v in out.items()}
-        if rng.random() < 0.5:  # temporal flip: valid, blur is symmetric
-            out = {k: v[::-1] for k, v in out.items()}
+        fw = rng.random() < 0.5
+        fh = rng.random() < 0.5
+        ft = rng.random() < 0.5  # temporal flip: valid, blur is symmetric
+
+    if all(v.dtype == np.uint8 for v in sample.values()):
+        from bin_tpu.data import fastops
+        return {k: fastops.crop_norm_u8(v, y0, x0, ch, cw, fh, fw, ft)
+                for k, v in sample.items()}
+
+    out = {k: v[:, y0:y0 + ch, x0:x0 + cw] for k, v in sample.items()}
+    if fw:
+        out = {k: v[:, :, ::-1] for k, v in out.items()}
+    if fh:
+        out = {k: v[:, ::-1] for k, v in out.items()}
+    if ft:
+        out = {k: v[::-1] for k, v in out.items()}
     return {k: np.ascontiguousarray(v) for k, v in out.items()}
 
 

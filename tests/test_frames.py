@@ -67,3 +67,20 @@ def test_frame_folder_source_full_clips(tree):
 def test_frame_folder_source_missing_root():
     with pytest.raises(FileNotFoundError):
         FrameFolderSource("/nonexistent/path")
+
+
+def test_raw_u8_source_and_native_crop(tree):
+    """raw_u8 source + pipeline crop = float source + numpy crop."""
+    from bin_tpu.data.pipeline import _random_crop_flip
+    _, dst = tree
+    src_f = FrameFolderSource(str(dst), num_keys=4, chunk_stride=1)
+    src_u = FrameFolderSource(str(dst), num_keys=4, chunk_stride=1, raw_u8=True)
+    s_u = src_u[0]
+    assert s_u["blurry"].dtype == np.uint8
+    rng_a = np.random.Generator(np.random.Philox(5))
+    rng_b = np.random.Generator(np.random.Philox(5))
+    a = _random_crop_flip(src_f[0], (16, 16), rng_a, True)
+    b = _random_crop_flip(s_u, (16, 16), rng_b, True)
+    for k in a:
+        assert b[k].dtype == np.float32
+        np.testing.assert_allclose(a[k], b[k], atol=1.01 / 255.0)
