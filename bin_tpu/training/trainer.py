@@ -143,6 +143,6 @@ def _make_source(cfg: Config):
                                height=ch + 16, width=cw + 16,  # room to crop
                                taps=cfg.data.blur_taps,
                                stride=cfg.data.blur_stride, seed=cfg.seed,
-                               cache=True)
+                               cache=True, as_u8=True)
     from bin_tpu.data.frames import FrameFolderSource
     return FrameFolderSource(cfg.data.root, num_keys=cfg.data.seq_len)
