@@ -1,167 +1,7 @@
 #!/usr/bin/env python
-"""Benchmark: frames/sec/chip at 720p joint deblur + 2x interpolation.
+"""Driver benchmark entry point: prints ONE JSON line (see bin_tpu/benchmark.py)."""
 
-Prints exactly ONE JSON line on stdout:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
-Everything else goes to stderr.
-
-Metric definition (BASELINE.json:2): assembled OUTPUT frames (deblurred keys
-+ interpolated midpoints, 1280x720) produced per second on one chip by the
-flagship PRF model (2-level pyramid + cycle level + inter-pyramid ConvLSTM,
-64 base features), bf16 compute, streaming sliding-window inference.
-
-vs_baseline derivation (documented, since no reference numbers are
-recoverable — BASELINE.md): the reference is the same architecture in eager
-PyTorch on an A100.  Its throughput is estimated as
-    a100_fps = A100_PEAK_FLOPS * EAGER_MFU / flops_per_output_frame
-with A100 dense bf16 peak 312 TFLOP/s and an assumed eager-mode conv-net
-MFU of 0.25 (typical for unfused eager CNN pipelines), and
-flops_per_output_frame measured from OUR compiled HLO via XLA cost analysis
-(same architecture → same FLOPs).  vs_baseline = our_fps / a100_fps; the
-driver target (BASELINE.json:5) of ">=1.2x A100-equivalent" is met when
-vs_baseline >= 1.2.
-"""
-
-from __future__ import annotations
-
-import argparse
-import json
-import sys
-import time
-
-import numpy as np
-
-A100_PEAK_FLOPS = 312e12
-EAGER_MFU = 0.25
-
-
-def log(*args):
-    print(*args, file=sys.stderr, flush=True)
-
-
-def main(argv=None):
-    p = argparse.ArgumentParser()
-    p.add_argument("--height", type=int, default=720)
-    p.add_argument("--width", type=int, default=1280)
-    p.add_argument("--keys", type=int, default=8, help="blurry key frames per clip")
-    p.add_argument("--batch", type=int, default=1, help="clips in flight")
-    p.add_argument("--iters", type=int, default=5)
-    p.add_argument("--warmup", type=int, default=2)
-    p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--stem", type=int, default=None,
-                   help="override model.stem_factor")
-    p.add_argument("--base", type=int, default=None,
-                   help="override model.base_features")
-    args = p.parse_args(argv)
-
-    import jax
-    import jax.numpy as jnp
-    from bin_tpu.config import get_config, apply_overrides
-    from bin_tpu.models import recurrent
-    from bin_tpu.registry import build_model
-
-    dev = jax.devices()[0]
-    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
-
-    overrides = [f"model.dtype={args.dtype}"]
-    if args.stem is not None:
-        overrides.append(f"model.stem_factor={args.stem}")
-    if args.base is not None:
-        overrides.append(f"model.base_features={args.base}")
-    cfg = get_config("config5_v5e_streaming", overrides)
-    model = build_model(cfg)
-
-    h, w, k, b = args.height, args.width, args.keys, args.batch
-    rng = np.random.default_rng(0)
-    params = model.init(jax.random.key(0), batch=1, height=64, width=64)
-    blurry = jnp.asarray(rng.uniform(0, 1, (b, k, h, w, 3)).astype(np.float32))
-
-    infer = jax.jit(lambda p, x: model.infer_clip(p, x)[0])
-
-    # Timing methodology: on this environment's experimental PJRT platform
-    # (axon tunnel), block_until_ready() does NOT wait for device execution
-    # and a host fetch costs tens of ms.  So: run R clip inferences as a
-    # device-side lax.scan (serialized by a tiny numerical carry dependency
-    # that XLA cannot fold away), fetch one scalar, and take the SLOPE
-    # between two scan lengths — overhead and fetch latency cancel.
-    import functools
-
-    @functools.partial(jax.jit, static_argnums=2)
-    def chained(p, x, n):
-        def body(carry, _):
-            video = infer(p, x + carry * jnp.float32(1e-30))
-            return jnp.sum(video), None
-        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-        return out
-
-    t0 = time.monotonic()
-    first = float(np.asarray(chained(params, blurry, 1)))
-    log(f"compile+first-run: {time.monotonic() - t0:.1f}s (checksum {first:.3e})")
-
-    def timed(n):
-        t0 = time.monotonic()
-        np.asarray(chained(params, blurry, n))
-        return time.monotonic() - t0
-
-    for _ in range(args.warmup):
-        timed(1)
-    t1 = min(timed(1) for _ in range(3))
-    tn = min(timed(args.iters) for _ in range(2))
-    dt = max(tn - t1, 1e-9) / (args.iters - 1)
-
-    out_shape = jax.eval_shape(infer, params, blurry).shape
-    out_frames = out_shape[0] * out_shape[1]
-    fps = out_frames / dt
-    log(f"per-clip device time {dt * 1e3:.1f} ms for {out_frames} output "
-        f"frames (t1={t1 * 1e3:.0f} ms, t{args.iters}={tn * 1e3:.0f} ms)")
-
-    # FLOPs → A100-equivalent eager reference fps.  XLA cost_analysis counts
-    # a lax.scan body ONCE regardless of trip count (verified in this
-    # environment), so lower a single WINDOW step and multiply by the number
-    # of windows instead of lowering the scanned clip program.
-    vs_baseline = None
-    flops_per_frame = None
-    try:
-        from bin_tpu.models.recurrent import num_windows
-        n_win = num_windows(k, cfg.model.window_size)
-        window = blurry[:, : cfg.model.window_size]
-        states = model.initial_state(b, h, w)
-
-        def one_window(p, w, s):
-            outs, ns = model.apply_window(p, w, s)
-            return (sum(jnp.sum(o) for o in outs)
-                    + sum(jnp.sum(x) + jnp.sum(c) for x, c in ns))
-
-        cost = (jax.jit(one_window).lower(params, window, states)
-                .compile().cost_analysis())
-        window_flops = float(cost.get("flops", 0.0))
-        if window_flops > 0:
-            flops_per_frame = window_flops * n_win / out_frames
-            a100_fps = A100_PEAK_FLOPS * EAGER_MFU / flops_per_frame
-            vs_baseline = fps / a100_fps
-            log(f"window flops {window_flops:.3e} x {n_win} windows -> "
-                f"{flops_per_frame:.3e}/output-frame; effective "
-                f"{flops_per_frame * fps / 1e12:.1f} TFLOP/s; "
-                f"estimated eager-A100 fps: {a100_fps:.2f}")
-    except Exception as e:  # cost analysis is best-effort on experimental PJRT
-        log(f"cost_analysis unavailable: {e}")
-
-    record = {
-        "metric": "frames/sec/chip @ 720p joint deblur + 2x interp",
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
-        "detail": {
-            "shape": [b, k, h, w],
-            "dtype": args.dtype,
-            "median_ms": round(dt * 1e3, 2),
-            "flops_per_output_frame": flops_per_frame,
-            "baseline_model": f"A100 eager est. ({EAGER_MFU:.0%} MFU of "
-                              f"{A100_PEAK_FLOPS / 1e12:.0f} TFLOP/s)",
-        },
-    }
-    print(json.dumps(record), flush=True)
-
+from bin_tpu.benchmark import main
 
 if __name__ == "__main__":
     main()

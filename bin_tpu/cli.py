@@ -51,8 +51,8 @@ def eval_main(argv: list[str] | None = None) -> None:
 
 
 def bench_main(argv: list[str] | None = None) -> None:
-    import bench
-    bench.main(argv)
+    from bin_tpu.benchmark import main
+    main(argv)
 
 
 def prep_main(argv: list[str] | None = None) -> None:

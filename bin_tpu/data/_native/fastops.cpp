@@ -100,11 +100,13 @@ PyObject* blur_average_u8(PyObject*, PyObject* args) {
     PyErr_SetString(PyExc_ValueError, "need 0 < taps <= 255 and stride > 0");
     return nullptr;
   }
-  const npy_intp k = (t - taps) / stride + 1;
-  if (k <= 0) {
+  if (t < taps) {  // guard BEFORE the truncating division: (t-taps)/stride
+    // rounds toward zero for negative numerators, which would yield k=1
+    // and an out-of-bounds read past the input buffer
     PyErr_SetString(PyExc_ValueError, "clip shorter than taps");
     return nullptr;
   }
+  const npy_intp k = (t - taps) / stride + 1;
   npy_intp dims[4] = {k, PyArray_DIM(frames, 1), PyArray_DIM(frames, 2),
                       PyArray_DIM(frames, 3)};
   PyArrayObject* out =

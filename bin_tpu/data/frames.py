@@ -98,9 +98,9 @@ class FrameFolderSource:
         for clip_id, frames in self.blurry.items():
             n_keys = len(frames)
             n_sharp = len(self.sharp[clip_id])
+            # tolerate clips whose sharp track is shorter than 2K-1 frames
+            # by shrinking the usable key range
             usable = min(n_keys, (n_sharp + 1) // 2)
-            if n_sharp != 2 * n_keys - 1:
-                usable = min(usable, (n_sharp + 1) // 2)
             if num_keys is None:
                 if usable >= 2:
                     self.index.append((clip_id, 0, usable))

@@ -138,17 +138,27 @@ def train_iterator(source, batch_size: int, crop_size: tuple[int, int],
 def eval_clips(source, batch_size: int = 1) -> Iterator[dict[str, np.ndarray]]:
     """Deterministic full-frame eval batches, one pass over the source.
 
-    Trailing partial batches are padded by repeating the last clip and a
-    "valid" mask is attached so metrics can ignore padding.
+    Samples are grouped by shape before batching (full-clip sources yield
+    clips of different lengths — stacking across groups would fail);
+    trailing partial batches are padded by repeating the last clip of the
+    group with a "valid" mask so metrics can ignore padding.
     """
-    n = len(source)
-    for start in range(0, n, batch_size):
-        idx = list(range(start, min(start + batch_size, n)))
+    def emit(items: list[dict[str, np.ndarray]]):
         valid = np.zeros((batch_size,), dtype=bool)
-        valid[: len(idx)] = True
-        while len(idx) < batch_size:
-            idx.append(idx[-1])
-        items = [source[i] for i in idx]
+        valid[: len(items)] = True
+        items = items + [items[-1]] * (batch_size - len(items))
         batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
         batch["valid"] = valid
-        yield batch
+        return batch
+
+    buffers: dict[tuple, list] = {}
+    for i in range(len(source)):  # single pass; <= batch_size items buffered
+        item = source[i]          # per distinct clip shape
+        buf = buffers.setdefault(item["blurry"].shape, [])
+        buf.append(item)
+        if len(buf) == batch_size:
+            yield emit(buf)
+            buf.clear()
+    for buf in buffers.values():
+        if buf:
+            yield emit(buf)

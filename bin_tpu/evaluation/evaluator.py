@@ -25,11 +25,13 @@ from bin_tpu.registry import Model, build_model
 __all__ = ["evaluate", "evaluate_cli", "clip_metrics_fn"]
 
 
-def clip_metrics_fn(model: Model, num_keys: int):
+def clip_metrics_fn(model: Model, num_keys: int, return_video: bool = False):
     """Jitted (params, blurry, sharp) → per-category (psnr, ssim) means.
 
     Compiled once per (num_keys, H, W) clip shape; fp32 internally (the
-    0.05 dB parity budget — SURVEY.md §8 parity trap #2).
+    0.05 dB parity budget — SURVEY.md §8 parity trap #2).  With
+    ``return_video`` the assembled clip is returned too, so frame-dump runs
+    don't re-run the clip scan in a second program.
     """
     plan = recurrent.assembly_plan(num_keys, model.cfg.window_size,
                                    model.num_levels_total)
@@ -51,9 +53,10 @@ def clip_metrics_fn(model: Model, num_keys: int):
                 jnp.sum(x * (1 - interp_mask), axis=1) / jnp.maximum(n_deblur, 1),
                 jnp.nan)
             return {"interp": interp, "deblur": deblur, "overall": jnp.mean(x, axis=1)}
-        return {"psnr": split(p), "ssim": split(s)}
+        metrics_out = {"psnr": split(p), "ssim": split(s)}
+        return (metrics_out, video) if return_video else metrics_out
 
-    return fn
+    return fn, times
 
 
 def save_clip_frames(video: np.ndarray, times: np.ndarray, out_dir: str,
@@ -80,22 +83,21 @@ def evaluate(model: Model, params: Any, clips: Iterable[dict[str, np.ndarray]],
     fn_cache: dict[tuple, Any] = {}
     sums: dict[str, float] = {}
     count = 0
-    infer_jit = None
     for ci, clip in enumerate(clips):
         key = clip["blurry"].shape[1:4]
         if key not in fn_cache:
-            fn_cache[key] = clip_metrics_fn(model, clip["blurry"].shape[1])
-        out = jax.device_get(fn_cache[key](params, jnp.asarray(clip["blurry"]),
-                                           jnp.asarray(clip["sharp"])))
-        if save_dir:
-            if infer_jit is None:
-                infer_jit = jax.jit(lambda p, x: model.infer_clip(p, x))
-            video, times = infer_jit(params, jnp.asarray(clip["blurry"]))
-            valid_mask = clip.get("valid", np.ones(video.shape[0], bool))
-            for bi in np.nonzero(valid_mask)[0]:
-                save_clip_frames(np.asarray(video[bi]), np.asarray(times),
-                                 save_dir, f"clip{ci:04d}_{bi}")
+            fn_cache[key] = clip_metrics_fn(model, clip["blurry"].shape[1],
+                                            return_video=bool(save_dir))
+        fn, times = fn_cache[key]
+        out = fn(params, jnp.asarray(clip["blurry"]),
+                 jnp.asarray(clip["sharp"]))
         valid = clip.get("valid", np.ones(clip["blurry"].shape[0], bool))
+        if save_dir:
+            out, video = out
+            for bi in np.nonzero(valid)[0]:
+                save_clip_frames(np.asarray(video[bi]), times,
+                                 save_dir, f"clip{ci:04d}_{bi}")
+        out = jax.device_get(out)
         for metric, cats in out.items():
             for cat, vals in cats.items():
                 vals = np.asarray(vals)[valid]
@@ -140,6 +142,9 @@ def evaluate_cli(cfg: Config, checkpoint: str = "", num_clips: int = 4,
                                  stride=cfg.data.blur_stride, seed=cfg.seed + 1)
     else:
         from bin_tpu.data.frames import FrameFolderSource
-        source = FrameFolderSource(cfg.data.root, num_keys=num_keys)
+        # honor the dataset's eval protocol (e.g. Adobe240 at 640x352 half
+        # resolution [P]); a no-op when frames are already that size
+        source = FrameFolderSource(cfg.data.root, num_keys=num_keys,
+                                   resize_to=(h, w))
     return evaluate(model, params, eval_clips(source, batch_size=1),
                     save_dir=save_dir)

@@ -60,7 +60,16 @@ def pyramid_loss(outputs: list[jax.Array], gt: jax.Array,
     total = jnp.float32(0.0)
     aux: dict[str, jax.Array] = {}
     center_preds = []  # same-timestamp predictions for the cycle term
-    center_t = window_size - 1  # odd centre timestamp (e.g. 3 for K=4)
+    # Cycle timestamp: level l only emits times of parity l, so the tied
+    # pair must share parity — use the middle timestamp of the DEEPEST
+    # odd-parity level (level 3's lone t=3 for K=4, the reference's I3/I3'
+    # constraint [P]); window_size-1 alone would silently disable the term
+    # for odd window sizes.
+    odd_levels = [li + 1 for li in range(len(outputs)) if (li + 1) % 2 == 1]
+    center_t = None
+    if len(odd_levels) >= 2:
+        deep_times = level_output_times(odd_levels[-1], window_size)
+        center_t = deep_times[len(deep_times) // 2]
     for idx, out in enumerate(outputs):
         level = idx + 1
         times = level_output_times(level, window_size)
@@ -73,7 +82,7 @@ def pyramid_loss(outputs: list[jax.Array], gt: jax.Array,
                 depth_to_space(level_gt, stem_factor), cfg.charbonnier_eps)
         aux[f"loss_level{level}"] = term
         total = total + weight * term
-        if center_t in times:
+        if center_t is not None and center_t in times:
             center_preds.append(out[:, times.index(center_t)])
 
     if cfg.cycle_weight > 0.0 and len(center_preds) >= 2:

@@ -29,8 +29,13 @@ def maybe_initialize(coordinator_address: str | None = None,
     call it unconditionally.  On TPU pods the arguments are auto-detected
     from the environment; they can be forced for other launchers.
     """
-    if jax.process_count() > 1:
+    # IMPORTANT: decide and initialize BEFORE any call that touches the XLA
+    # backend (jax.process_count()/jax.devices() would initialize it and
+    # make jax.distributed.initialize fail on a real multi-host launch).
+    from jax._src import distributed as _dist_state
+    if getattr(_dist_state.global_state, "client", None) is not None:
         return True  # already initialized
+
     explicit = coordinator_address is not None
     # NOTE: only explicit coordinator env vars trigger auto-init; single-host
     # TPU tunnels also export TPU_* variables, so those are not a signal.

@@ -90,6 +90,8 @@ def train_loop(cfg: Config, model: Model, state: TrainState,
                        **{k: float(v) for k, v in aux.items()})
         if checkpoint_cb is not None:
             checkpoint_cb(step_num, state)
+    if profiler_active:  # num_steps < 15: don't leak an active profiler
+        jax.profiler.stop_trace()
     return state
 
 
@@ -145,4 +147,7 @@ def _make_source(cfg: Config):
                                stride=cfg.data.blur_stride, seed=cfg.seed,
                                cache=True, as_u8=True)
     from bin_tpu.data.frames import FrameFolderSource
-    return FrameFolderSource(cfg.data.root, num_keys=cfg.data.seq_len)
+    # raw_u8: keep frames uint8 so the pipeline takes the fused native
+    # crop+normalize path (training only; eval needs resizable floats)
+    return FrameFolderSource(cfg.data.root, num_keys=cfg.data.seq_len,
+                             raw_u8=True)
