@@ -55,6 +55,40 @@ def make_train_step(model: Model, cfg: Config,
     return jax.jit(step, donate_argnums=0)
 
 
+def device_prefetch(batches: Iterator[dict[str, Any]], size: int = 2,
+                    plan: MeshPlan | None = None) -> Iterator[dict[str, Any]]:
+    """Overlap host→device transfer with compute.
+
+    jax.device_put is asynchronous: keeping ``size`` batches in flight hides
+    the transfer latency behind the previous step's device time — essential
+    here, where the device sits behind a high-latency PJRT tunnel and a
+    synchronous upload would serialize ~0.5 s per step.
+    """
+    import collections
+    queue: collections.deque = collections.deque()
+
+    def put_next():
+        batch = next(batches)
+        if plan is not None:
+            from bin_tpu.parallel.mesh import shard_batch
+            queue.append(shard_batch(plan, batch))
+        else:
+            queue.append(jax.device_put(batch))
+
+    try:
+        for _ in range(size):
+            put_next()
+        while queue:
+            yield queue.popleft()
+            try:
+                put_next()
+            except StopIteration:
+                pass
+    except StopIteration:
+        while queue:
+            yield queue.popleft()
+
+
 def train_loop(cfg: Config, model: Model, state: TrainState,
                batches: Iterator[dict[str, Any]], num_steps: int,
                logger: MetricLogger, plan: MeshPlan | None = None,
@@ -65,6 +99,8 @@ def train_loop(cfg: Config, model: Model, state: TrainState,
     t_last = time.monotonic()
     frames_since = 0
     profiler_active = False
+    device_batches = device_prefetch(batches, size=max(2, cfg.data.prefetch),
+                                     plan=plan)
     for i in range(num_steps):
         # Tracing/profiling subsystem (SURVEY.md §6.1): capture a short
         # jax.profiler trace once steady state is reached (steps 10..14).
@@ -74,11 +110,8 @@ def train_loop(cfg: Config, model: Model, state: TrainState,
         if profiler_active and i == 15:
             jax.profiler.stop_trace()
             profiler_active = False
-        batch = next(batches)
+        batch = next(device_batches)
         frames_since += batch["blurry"].shape[0] * batch["blurry"].shape[1]
-        if plan is not None:
-            from bin_tpu.parallel.mesh import shard_batch
-            batch = shard_batch(plan, batch)
         state, aux = step_fn(state, batch)
         step_num = i + 1
         if step_num % log_every == 0 or step_num == num_steps:
