@@ -39,6 +39,46 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def _streaming_bench(args, model, params, blurry):
+    """End-to-end serving-path benchmark: StreamingSession.push per key,
+    INCLUDING the host boundary (pack, upload, emit fetch) — real wall
+    clock per emitted output frame, the number a serving deployment sees.
+    Unlike the batch bench this deliberately measures host overheads, so
+    it needs no slope trick: each push materializes its emissions."""
+    import json
+    import time
+
+    from bin_tpu.evaluation.streaming import StreamingSession
+
+    b, k, h, w = blurry.shape[:4]
+    sess = StreamingSession(model, params, batch=b, height=h, width=w)
+    t0 = time.monotonic()
+    for i in range(k):  # warmup pass: fills window, compiles the step
+        sess.push(blurry[:, i])
+    log(f"streaming warmup (compile): {time.monotonic() - t0:.1f}s")
+
+    sess.reset()
+    frames_out = 0
+    t0 = time.monotonic()
+    reps = max(2, args.iters)
+    for _ in range(reps):
+        for i in range(k):
+            out = sess.push(blurry[:, i])
+            frames_out += sum(f.shape[0] for _, f in out)
+    dt = time.monotonic() - t0
+    fps = frames_out / dt
+    per_key_ms = dt / (reps * k) * 1e3
+    record = {
+        "metric": "streaming frames/sec/chip @ 720p joint deblur + 2x interp",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": None,
+        "detail": {"batch_streams": b, "per_key_latency_ms": round(per_key_ms, 1),
+                   "shape": [b, h, w], "dtype": args.dtype},
+    }
+    print(json.dumps(record), flush=True)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--height", type=int, default=720)
@@ -52,6 +92,10 @@ def main(argv=None):
                    help="override model.stem_factor")
     p.add_argument("--base", type=int, default=None,
                    help="override model.base_features")
+    p.add_argument("--streaming", action="store_true",
+                   help="measure the StreamingSession serving path "
+                        "(per-key wall latency incl. host boundary) instead "
+                        "of the batch clip scan")
     args = p.parse_args(argv)
 
     import jax
@@ -75,6 +119,9 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     params = model.init(jax.random.key(0), batch=1, height=64, width=64)
     blurry = jnp.asarray(rng.uniform(0, 1, (b, k, h, w, 3)).astype(np.float32))
+
+    if args.streaming:
+        return _streaming_bench(args, model, params, np.asarray(blurry))
 
     infer = jax.jit(lambda p, x: model.infer_clip(p, x)[0])
 

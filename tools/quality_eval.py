@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Quality evaluation of a trained checkpoint vs the no-learning baselines.
+
+Baselines per output timestamp:
+  even t (deblur):  the blurry input key frame itself
+  odd t (interp):   the average of the two neighboring blurry keys
+(the second is exactly what the zero-init model predicts, so the delta is
+pure learned improvement).
+
+Usage: python tools/quality_eval.py --checkpoint runs/prf_synth/checkpoints \
+          [--preset config3_prf] [--size 256] [--keys 8] [--clips 4]
+"""
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bin_tpu.config import get_config
+from bin_tpu.data.pipeline import SyntheticSource, eval_clips
+from bin_tpu.evaluation.evaluator import clip_metrics_fn, evaluate
+from bin_tpu.metrics import psnr, ssim
+from bin_tpu.registry import build_model
+from bin_tpu.training.checkpoint import restore_params
+
+
+def baseline_metrics(clip):
+    """No-learning baseline on the same covered timestamps (1..2K-3)."""
+    blurry, sharp = clip["blurry"], clip["sharp"]
+    k = blurry.shape[1]
+    rows = {}
+    ests, gts, parities = [], [], []
+    for t in range(1, 2 * (k - 1)):
+        gt = sharp[:, t]
+        if t % 2 == 0:
+            est = blurry[:, t // 2]
+        else:
+            est = 0.5 * (blurry[:, t // 2] + blurry[:, t // 2 + 1])
+        ests.append(est)
+        gts.append(gt)
+        parities.append(t % 2)
+    est = jnp.asarray(np.stack(ests, 1))
+    gt = jnp.asarray(np.stack(gts, 1))
+    par = np.asarray(parities)
+    p = np.asarray(psnr(est, gt))
+    s = np.asarray(ssim(est, gt))
+    for name, mask in (("deblur", par == 0), ("interp", par == 1),
+                       ("overall", np.ones_like(par, bool))):
+        rows[f"psnr_{name}"] = float(p[:, mask].mean())
+        rows[f"ssim_{name}"] = float(s[:, mask].mean())
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--preset", default="config3_prf")
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--keys", type=int, default=8)
+    ap.add_argument("--clips", type=int, default=4)
+    args = ap.parse_args()
+
+    cfg = get_config(args.preset)
+    model = build_model(cfg)
+    params = restore_params(args.checkpoint)
+
+    source = SyntheticSource(num_samples=args.clips, num_keys=args.keys,
+                             height=args.size, width=args.size, seed=999)
+
+    base = {}
+    for clip in eval_clips(source, batch_size=1):
+        for k_, v in baseline_metrics(clip).items():
+            base[k_] = base.get(k_, 0.0) + v / args.clips
+    print("== no-learning baseline ==")
+    for k_ in sorted(base):
+        print(f"  {k_}: {base[k_]:.4f}")
+
+    results = evaluate(model, params, eval_clips(source, batch_size=1))
+    print(json.dumps({"model": results, "baseline": base}))
+
+
+if __name__ == "__main__":
+    main()
