@@ -35,8 +35,11 @@ def train_main(argv: list[str] | None = None) -> None:
     cfg, args = parse_config(argv, "Train a bin_tpu model.", {
         "--steps": dict(type=int, default=None, help="override optim.num_steps"),
         "--workdir": dict(default="runs/latest", help="checkpoints + logs dir"),
+        "--init-from": dict(default="", help="warm-start params from this "
+                                             "checkpoint dir (fresh optimizer)"),
     })
-    train(cfg, workdir=args.workdir, num_steps=args.steps)
+    train(cfg, workdir=args.workdir, num_steps=args.steps,
+          init_params_from=args.init_from)
 
 
 def eval_main(argv: list[str] | None = None) -> None:

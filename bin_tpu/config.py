@@ -44,6 +44,12 @@ class ModelConfig:
     use_convlstm: bool = True      # PRF recurrence on/off (off = plain BIN)
     cycle_level: bool = True       # extra top level that re-predicts the centre
                                    # frame for the cycle-consistency loss
+    clamp_intermediate: bool = True  # clip frames passed between pyramid
+                                   # levels to [-0.5, 1.5]: level l consumes
+                                   # level l-1's outputs, so an out-of-range
+                                   # estimate feeds back multiplicatively —
+                                   # observed to turn one bad step into
+                                   # loss=Inf within 100 steps when disabled
     dtype: str = "float32"         # compute dtype ("float32" | "bfloat16")
     param_dtype: str = "float32"   # master weights always fp32
     remat: bool = False            # jax.checkpoint each window step inside
@@ -92,6 +98,9 @@ class OptimConfig:
     lr_decay_steps: int = 50_000
     lr_decay_rate: float = 0.5
     grad_clip_norm: float = 1.0
+    skip_nonfinite: bool = True    # optax.apply_if_finite: skip steps whose
+                                   # gradients contain NaN/Inf instead of
+                                   # poisoning the parameters
     num_steps: int = 200_000
 
 

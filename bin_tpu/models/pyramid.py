@@ -135,6 +135,11 @@ class BINPyramid(nn.Module):
             sharp, feats = backbone(pa, pb, context=ctx)
             sharp = sharp.reshape(b, p, h, w, cpk)
             outputs.append(sharp)
+            if c.clamp_intermediate:
+                # bound what the NEXT level consumes (supervision still sees
+                # the raw estimate above): prevents multiplicative runaway
+                # through the level chain after an off-distribution step
+                sharp = jnp.clip(sharp, -0.5, 1.5)
             if c.use_convlstm:
                 fh, fw, fc = feats.shape[1:]
                 feats = feats.reshape(b, p, fh, fw, fc).mean(axis=1)

@@ -37,7 +37,13 @@ def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
                                  weight_decay=cfg.weight_decay))
     else:
         chain.append(optax.adam(schedule, b1=cfg.beta1, b2=cfg.beta2))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if cfg.skip_nonfinite:
+        # a NaN/Inf gradient step is dropped (params and Adam moments
+        # untouched) instead of corrupting the run; give up only after many
+        # consecutive failures so a genuinely broken run still crashes
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx
 
 
 def create_train_state(cfg: Config, model: Model, rng: jax.Array,

@@ -129,8 +129,15 @@ def train_loop(cfg: Config, model: Model, state: TrainState,
 
 
 def train(cfg: Config, workdir: str = "runs/latest",
-          num_steps: int | None = None) -> TrainState:
-    """End-to-end entry: data, model, mesh, checkpoints, loop (CLI target)."""
+          num_steps: int | None = None,
+          init_params_from: str = "") -> TrainState:
+    """End-to-end entry: data, model, mesh, checkpoints, loop (CLI target).
+
+    ``init_params_from``: warm-start parameters from another run's
+    checkpoint directory (fresh optimizer state) — the reference factory's
+    load-pretrained path (SURVEY.md §3.2), also the escape hatch when the
+    optimizer-state schema changed between runs.
+    """
     from bin_tpu.data.pipeline import SyntheticSource, train_iterator
     from bin_tpu.training import checkpoint as ckpt
 
@@ -143,6 +150,9 @@ def train(cfg: Config, workdir: str = "runs/latest",
     model = build_model(cfg)
     rng = jax.random.key(cfg.seed)
     state = create_train_state(cfg, model, rng)
+    if init_params_from:
+        from bin_tpu.training.checkpoint import restore_params
+        state = state.replace(params=restore_params(init_params_from))
 
     plan = None
     if cfg.parallel.data_axis_size != 1 or cfg.parallel.spatial_axis_size != 1:

@@ -41,6 +41,31 @@ def test_one_train_step_per_config(preset):
     assert float(aux["grad_norm"]) > 0
 
 
+def test_overfit_stem4_packed():
+    """The stem-4 packed model (config5's architecture) must also learn —
+    guards the depth-to-space tail + packed supervision path."""
+    cfg = _tiny(get_config("config5_v5e_streaming"))
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, dtype="float32", stem_factor=4,
+                                  base_features=32),
+        optim=dataclasses.replace(cfg.optim, learning_rate=2e-3),
+    )
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.key(0))
+    src = SyntheticSource(1, cfg.data.seq_len, 40, 40, seed=5)
+    batch = next(train_iterator(src, 2, (32, 32), seed=0, random_flip=False))
+    step = make_train_step(model, cfg)
+    first = None
+    for _ in range(120):
+        state, aux = step(state, batch)
+        if first is None:
+            first = float(aux["loss_total"])
+    # stem-4 converges more slowly than stem-1 at tiny widths (measured
+    # curve: ~0.24x over 120 steps); 0.5x is a robust learning check
+    assert float(aux["loss_total"]) < 0.5 * first, (first, float(aux["loss_total"]))
+
+
 def test_overfit_tiny_clip():
     """Loss must drop substantially when overfitting one batch — the
     end-to-end learning sanity check (SURVEY.md §8 stage 2)."""
