@@ -48,16 +48,24 @@ def gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _filter2d_separable(x: jax.Array, window: np.ndarray) -> jax.Array:
-    """Valid-mode separable 2-D filtering over (N, H, W, C)."""
+    """Valid-mode separable 2-D filtering over (N, H, W, C).
+
+    precision=HIGHEST is load-bearing: at DEFAULT precision XLA runs fp32
+    convs through bf16 passes, the window effectively loses ~8e-4 of its
+    mass, variances go negative by ~4e-3, and SSIM comes out >1 (observed
+    1.08 on smooth frames).  Metrics must not depend on the global
+    jax_default_matmul_precision setting."""
     c = x.shape[-1]
     size = window.shape[0]
     kh = jnp.asarray(window).reshape(size, 1, 1, 1) * jnp.ones((1, 1, 1, c))
     kw = jnp.asarray(window).reshape(1, size, 1, 1) * jnp.ones((1, 1, 1, c))
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
     x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
-                                     dimension_numbers=dn, feature_group_count=c)
+                                     dimension_numbers=dn, feature_group_count=c,
+                                     precision=jax.lax.Precision.HIGHEST)
     x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID",
-                                     dimension_numbers=dn, feature_group_count=c)
+                                     dimension_numbers=dn, feature_group_count=c,
+                                     precision=jax.lax.Precision.HIGHEST)
     return x
 
 

@@ -67,6 +67,27 @@ def test_ssim_gaussian_window_normalized():
     assert w[5] == w.max()  # centered
 
 
+def test_ssim_robust_to_default_matmul_precision():
+    """SSIM must not depend on jax_default_matmul_precision: at 'default',
+    XLA runs fp32 convs through bf16 and an unpinned filter loses ~8e-4 of
+    window mass → variance goes negative → SSIM > 1 (observed 1.08)."""
+    import jax
+    old = jax.config.jax_default_matmul_precision
+    try:
+        jax.config.update("jax_default_matmul_precision", "default")
+        # smooth, highly-correlated pair (the worst case for cancellation)
+        ys, xs = np.mgrid[0:64, 0:64].astype(np.float32) / 64.0
+        base = 0.5 + 0.2 * np.sin(2 * np.pi * (ys + xs))
+        x = np.repeat(base[None, :, :, None], 3, axis=-1)
+        y = np.clip(x + np.random.default_rng(0).normal(
+            0, 0.003, x.shape).astype(np.float32), 0, 1)
+        s = float(np.asarray(metrics.ssim(x, y)))
+        assert s <= 1.0 + 1e-5, s
+        assert s > 0.9
+    finally:
+        jax.config.update("jax_default_matmul_precision", old)
+
+
 def test_metrics_jittable():
     import jax
     x, y = _rand_pair(5)

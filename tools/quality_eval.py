@@ -78,7 +78,7 @@ def main():
         print(f"  {k_}: {base[k_]:.4f}")
 
     results = evaluate(model, params, eval_clips(source, batch_size=1))
-    print(json.dumps({"model": results, "baseline": base}))
+    print(json.dumps({"model": results, "baseline": base}, default=float))
 
 
 if __name__ == "__main__":
