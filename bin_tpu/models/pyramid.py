@@ -125,6 +125,13 @@ class BINPyramid(nn.Module):
         cpk = window.shape[-1]  # packed channel count (3 * stem_factor^2)
         for idx, backbone in enumerate(self.backbones):
             p = frames.shape[1] - 1  # pairs at this level
+            if c.clamp_intermediate and idx > 0:
+                # bound what this level consumes (clip commutes with the
+                # slice/reshape below; placed consume-side so XLA fuses it
+                # into the head conv's input): prevents multiplicative
+                # runaway through the level chain after a bad train step,
+                # while supervision sees the raw estimates
+                frames = jnp.clip(frames, -0.5, 1.5)
             pa = frames[:, :-1].reshape(b * p, h, w, cpk)
             pb = frames[:, 1:].reshape(b * p, h, w, cpk)
             if c.use_convlstm:
@@ -135,11 +142,6 @@ class BINPyramid(nn.Module):
             sharp, feats = backbone(pa, pb, context=ctx)
             sharp = sharp.reshape(b, p, h, w, cpk)
             outputs.append(sharp)
-            if c.clamp_intermediate:
-                # bound what the NEXT level consumes (supervision still sees
-                # the raw estimate above): prevents multiplicative runaway
-                # through the level chain after an off-distribution step
-                sharp = jnp.clip(sharp, -0.5, 1.5)
             if c.use_convlstm:
                 fh, fw, fc = feats.shape[1:]
                 feats = feats.reshape(b, p, fh, fw, fc).mean(axis=1)
