@@ -92,6 +92,9 @@ def main(argv=None):
                    help="override model.stem_factor")
     p.add_argument("--base", type=int, default=None,
                    help="override model.base_features")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="KEY=VALUE", help="config override, e.g. "
+                   "model.clamp_intermediate=false (repeatable)")
     p.add_argument("--streaming", action="store_true",
                    help="measure the StreamingSession serving path "
                         "(per-key wall latency incl. host boundary) instead "
@@ -112,6 +115,7 @@ def main(argv=None):
         overrides.append(f"model.stem_factor={args.stem}")
     if args.base is not None:
         overrides.append(f"model.base_features={args.base}")
+    overrides += args.overrides
     cfg = get_config("config5_v5e_streaming", overrides)
     model = build_model(cfg)
 
@@ -198,6 +202,8 @@ def main(argv=None):
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "vs_baseline_estimated": True,  # no measured reference exists (empty
+        # mount, BASELINE.md); denominator is an ASSUMED 25%-MFU eager A100.
         "detail": {
             "shape": [b, k, h, w],
             "dtype": args.dtype,
@@ -205,6 +211,11 @@ def main(argv=None):
             "flops_per_output_frame": flops_per_frame,
             "baseline_model": f"A100 eager est. ({EAGER_MFU:.0%} MFU of "
                               f"{A100_PEAK_FLOPS / 1e12:.0f} TFLOP/s)",
+            # Sensitivity: vs_baseline scales as 0.25/assumed_MFU. The >=1.2
+            # target holds for assumed eager MFU up to vs_baseline/1.2*0.25
+            # (e.g. vs_baseline 1.76 -> holds through 37% eager MFU).
+            "mfu_sensitivity": (
+                round(vs_baseline / 1.2 * EAGER_MFU, 3) if vs_baseline else None),
         },
     }
     print(json.dumps(record), flush=True)

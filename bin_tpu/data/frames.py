@@ -121,9 +121,14 @@ class FrameFolderSource:
         if self.resize_to is not None and frame.shape[:2] != self.resize_to:
             from PIL import Image
             h, w = self.resize_to
-            img = Image.fromarray((frame * 255.0 + 0.5).astype(np.uint8))
-            frame = (np.asarray(img.resize((w, h), Image.BILINEAR))
-                     .astype(np.float32) / 255.0)
+            # Resize in float32 (PIL mode 'F' per channel) — same
+            # antialiased triangle filter as uint8 BILINEAR but without a
+            # second 8-bit quantization, which matters for float .npy
+            # sources in the eval protocol path.
+            frame = np.stack(
+                [np.asarray(Image.fromarray(frame[..., c], mode="F")
+                            .resize((w, h), Image.BILINEAR))
+                 for c in range(frame.shape[-1])], axis=-1).astype(np.float32)
         return frame
 
     def __getitem__(self, i: int) -> dict[str, np.ndarray]:

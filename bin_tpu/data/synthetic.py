@@ -84,10 +84,19 @@ def synthesize_blur(sharp: np.ndarray, taps: int = 11, stride: int = 8) -> np.nd
 
 
 def gt_indices(num_keys: int, taps: int = 11, stride: int = 8) -> np.ndarray:
-    """240fps indices of the 2K-1 supervised sharp timestamps for K keys."""
+    """240fps indices of the 2K-1 supervised sharp timestamps for K keys.
+
+    Key-frame centers sit at ``center + k*stride``; interpolated GT frames
+    sit at the true temporal midpoints between consecutive centers. Odd
+    strides would put midpoints off the integer 240fps grid (and silently
+    misalign supervision with the blurry keys), so they are rejected.
+    """
+    if stride % 2 != 0:
+        raise ValueError(
+            f"blur stride must be even so interpolation midpoints land on "
+            f"the 240fps frame grid; got stride={stride}")
     center = (taps - 1) // 2
-    half = stride // 2
-    return center + np.arange(2 * num_keys - 1) * half
+    return center + np.arange(2 * num_keys - 1) * (stride // 2)
 
 
 def make_sample(seed: int, num_keys: int, height: int, width: int,

@@ -39,7 +39,8 @@ class StreamingSession:
         self.params = params
         self.k = model.cfg.window_size
         self.batch, self.height, self.width = batch, height, width
-        self._step = jax.jit(model.apply_window)
+        self._step = jax.jit(
+            lambda p, w, s: model.apply_window(p, w, s, producer_clamp=True))
         self.reset()
 
     def reset(self) -> None:

@@ -47,7 +47,8 @@ class Backbone(nn.Module):
 
     @nn.compact
     def __call__(self, frame_a: jax.Array, frame_b: jax.Array,
-                 context: jax.Array | None = None):
+                 context: jax.Array | None = None,
+                 clamp_output: bool = False):
         """Two PACKED frames → (packed sharp frame, bottleneck feats).
 
         Packed domain: frames are space-to-depth'd by ``stem_factor``, i.e.
@@ -98,5 +99,12 @@ class Backbone(nn.Module):
                            dtype=self.dtype, param_dtype=self.param_dtype,
                            name="tail")(x)
         base = 0.5 * (frame_a.astype(jnp.float32) + frame_b.astype(jnp.float32))
-        sharp = (base + residual.astype(jnp.float32)).astype(self.dtype)
-        return sharp, feats
+        sharp = base + residual.astype(jnp.float32)
+        if clamp_output:
+            # Producer-side stability clamp (inference): fused into this
+            # fp32 tail epilogue so ONE clamped tensor is materialized,
+            # instead of the consume-side clamp which forces XLA to keep
+            # both the raw output (for emission) and a clamped copy (for
+            # the next level) — measured ~10% of the 720p window step.
+            sharp = jnp.clip(sharp, -0.5, 1.5)
+        return sharp.astype(self.dtype), feats

@@ -99,9 +99,17 @@ class BINPyramid(nn.Module):
     def initial_state(self, batch: int, height: int, width: int) -> list[State]:
         return initial_state(self.cfg, batch, height, width)
 
-    def __call__(self, window: jax.Array, states: list[State]):
+    def __call__(self, window: jax.Array, states: list[State],
+                 producer_clamp: bool = False):
         """window (B, K, H, W, 3) blurry keys (unpacked), OR already-packed
         (B, K, H/f, W/f, 3f^2) frames; states as from initial_state.
+
+        ``producer_clamp`` (inference only): apply the stability clamp in
+        the producing backbone's fp32 tail instead of consume-side, so each
+        level's output is materialized once.  Emitted frames are then
+        clamped to [-0.5, 1.5] — identical final video, since eval/emission
+        clips to [0, 1] anyway (clip∘clip ≡ clip).  Training keeps the
+        consume-side clamp so supervision sees raw estimates.
 
         Returns (outputs, new_states): outputs is a list over levels, entry l
         shaped (B, K-1-l, H/f, W/f, 3f^2) in the compute dtype — PACKED
@@ -125,7 +133,7 @@ class BINPyramid(nn.Module):
         cpk = window.shape[-1]  # packed channel count (3 * stem_factor^2)
         for idx, backbone in enumerate(self.backbones):
             p = frames.shape[1] - 1  # pairs at this level
-            if c.clamp_intermediate and idx > 0:
+            if c.clamp_intermediate and not producer_clamp and idx > 0:
                 # bound what this level consumes (clip commutes with the
                 # slice/reshape below; placed consume-side so XLA fuses it
                 # into the head conv's input): prevents multiplicative
@@ -139,7 +147,9 @@ class BINPyramid(nn.Module):
                 ctx = jnp.repeat(hid, p, axis=0)  # (B*P, h', w', F), pair-broadcast
             else:
                 ctx = None
-            sharp, feats = backbone(pa, pb, context=ctx)
+            sharp, feats = backbone(
+                pa, pb, context=ctx,
+                clamp_output=c.clamp_intermediate and producer_clamp)
             sharp = sharp.reshape(b, p, h, w, cpk)
             outputs.append(sharp)
             if c.use_convlstm:

@@ -60,11 +60,15 @@ class Model:
         return total_levels(self.cfg)
 
     # -- forward ----------------------------------------------------------
-    def apply_window(self, params: Any, window: jax.Array, states: list):
+    def apply_window(self, params: Any, window: jax.Array, states: list,
+                     producer_clamp: bool = False):
         """One pyramid forward.  window: (B,K,H,W,3) unpacked or packed
         (B,K,H/f,W/f,3f^2); outputs are PACKED per-level frames — see
-        BINPyramid.__call__ and Model.unpack."""
-        return self.module.apply({"params": params}, window, states)
+        BINPyramid.__call__ and Model.unpack.  ``producer_clamp``: fuse the
+        stability clamp into the producing tail (inference-only fast path;
+        see BINPyramid.__call__)."""
+        return self.module.apply({"params": params}, window, states,
+                                 producer_clamp=producer_clamp)
 
     def unpack(self, frames: jax.Array) -> jax.Array:
         """Packed (…, h, w, 3f^2) model outputs → fp32 (…, H, W, 3)."""
@@ -74,13 +78,19 @@ class Model:
     def _apply_fn(self, params, window, states):
         return self.module.apply({"params": params}, window, states)
 
+    def _infer_apply_fn(self, params, window, states):
+        """Inference forward: producer-side fused clamp (same final video —
+        eval/emission clips to [0,1]; ~10% faster at 720p)."""
+        return self.module.apply({"params": params}, window, states,
+                                 producer_clamp=True)
+
     def forward_clip(self, params: Any, blurry: jax.Array):
-        """Scan a whole clip: (B,Kt,H,W,3) → (stacked PACKED per-level
-        outputs, final ConvLSTM states)."""
+        """Scan a whole clip (inference): (B,Kt,H,W,3) → (stacked PACKED
+        per-level outputs, final ConvLSTM states)."""
         b, _, h, w, _ = blurry.shape
         states = self.initial_state(b, h, w)
-        return recurrent.scan_windows(self._apply_fn, params, blurry, states,
-                                      self.cfg.window_size,
+        return recurrent.scan_windows(self._infer_apply_fn, params, blurry,
+                                      states, self.cfg.window_size,
                                       self.cfg.stem_factor)
 
     def infer_clip(self, params: Any, blurry: jax.Array):

@@ -134,15 +134,19 @@ def convlstm_forward(params: dict, x, h, c, forget_bias: float = 1.0):
 def pyramid_forward(params: dict, window, num_levels_total: int,
                     use_convlstm: bool, states=None,
                     num_scales: int = 3, num_res_blocks: int = 1,
-                    stem_factor: int = 1):
+                    stem_factor: int = 1, clamp_intermediate: bool = True):
     """Twin of BINPyramid.__call__: window (B,K,H,W,3) NHWC numpy; packs
-    once at the window level, returns PACKED outputs like the flax model."""
+    once at the window level, returns PACKED outputs like the flax model.
+    Mirrors the consume-side inter-level clamp to [-0.5, 1.5] that
+    BINPyramid applies when cfg.clamp_intermediate (the default)."""
     window = np.asarray(window)
     b, k = window.shape[:2]
     frames = [space_to_depth_np(window[:, i], stem_factor) for i in range(k)]
     outputs, new_states = [], []
     for li in range(num_levels_total):
         bb = params[f"level_{li + 1}"]
+        if clamp_intermediate and li > 0:
+            frames = [np.clip(f, -0.5, 1.5) for f in frames]
         outs, feats = [], []
         for a, fb in zip(frames[:-1], frames[1:]):
             ctx = states[li][0] if use_convlstm else None
