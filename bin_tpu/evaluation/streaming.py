@@ -87,10 +87,12 @@ class StreamingSession:
             raise ValueError(f"expected {(self.batch, self.height, self.width, 3)},"
                              f" got {key_frames.shape}")
         from bin_tpu.ops.pixel_shuffle import space_to_depth
-        # pack on arrival: the window buffer and the pyramid stay in packed
-        # domain; frames unpack only on emission (see models/backbone.py)
-        packed = space_to_depth(jnp.asarray(key_frames),
-                                self.model.cfg.stem_factor)
+        # pack on arrival (cast-then-pack: bf16 transposes are ~10x cheaper);
+        # the window buffer and the pyramid stay in packed domain; frames
+        # unpack only on emission (see models/backbone.py)
+        packed = space_to_depth(
+            jnp.asarray(key_frames).astype(jnp.dtype(self.model.cfg.dtype)),
+            self.model.cfg.stem_factor)
         self._window.append(packed)
         self._keys_seen += 1
         if len(self._window) > self.k:

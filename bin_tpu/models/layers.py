@@ -79,18 +79,47 @@ class Downsample(nn.Module):
         return nn.leaky_relu(x, self.slope)
 
 
+class _ConvParams(nn.Module):
+    """Bare conv kernel+bias holder; keeps the param tree identical to an
+    nn.Conv child ("Conv_0": {kernel, bias}) while the op itself is fused."""
+
+    kernel_shape: tuple
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", _KERNEL_INIT, self.kernel_shape,
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.kernel_shape[-1],), self.param_dtype)
+        return kernel, bias
+
+
 class Upsample(nn.Module):
-    """Bilinear 2x upsample + conv3x3 + LeakyReLU (decoder scale transition,
-    matching the reference's bilinear-interpolate-then-conv pattern)."""
+    """Bilinear 2x upsample + conv3x3 (replicate-padded) + LeakyReLU
+    (decoder scale transition, matching the reference's
+    bilinear-interpolate-then-conv pattern).
+
+    Computed as ONE fused phase-bank conv at the low resolution
+    (ops/fused_upsample.py) — numerically equal to upsample-then-conv but
+    without materializing the 2x intermediate.  The conv's border padding
+    is REPLICATE (not zero): that makes the fusion exact at every pixel
+    with no border correction, and avoids border darkening."""
 
     features: int
     slope: float = 0.1
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x):
-        from bin_tpu.ops.resize import upsample2x
-        x = upsample2x(x)
-        x = conv3x3(self.features, dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        from bin_tpu.ops.fused_upsample import (upsample2x_conv,
+                                                upsample2x_conv_reference)
+
+        kernel, bias = _ConvParams((3, 3, x.shape[-1], self.features),
+                                   self.param_dtype, name="Conv_0")()
+        op = upsample2x_conv if self.fused else upsample2x_conv_reference
+        x = op(x.astype(self.dtype), kernel.astype(self.dtype),
+               bias.astype(self.dtype))
         return nn.leaky_relu(x, self.slope)

@@ -122,7 +122,11 @@ class BINPyramid(nn.Module):
 
         c = self.cfg
         if window.shape[-1] == 3:
-            window = space_to_depth(window, c.stem_factor)
+            # cast BEFORE packing: the space-to-depth transpose of a bf16
+            # tensor is ~10x cheaper than fp32 (measured; the head conv
+            # casts to the compute dtype anyway)
+            window = space_to_depth(window.astype(jnp.dtype(c.dtype)),
+                                    c.stem_factor)
         b, k, h, w, _ = window.shape
         if k != c.window_size:
             raise ValueError(f"window has {k} keys, config says {c.window_size}")

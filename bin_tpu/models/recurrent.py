@@ -36,7 +36,8 @@ def num_windows(num_keys: int, window_size: int) -> int:
 
 
 def scan_windows(apply_fn: Callable, params: Any, blurry: jax.Array,
-                 init_states: list, window_size: int, stem_factor: int = 1):
+                 init_states: list, window_size: int, stem_factor: int = 1,
+                 compute_dtype: Any = None):
     """Run the pyramid over every sliding window of a clip.
 
     apply_fn(params, window, states) -> (outputs, new_states)
@@ -53,6 +54,10 @@ def scan_windows(apply_fn: Callable, params: Any, blurry: jax.Array,
     from bin_tpu.ops.pixel_shuffle import space_to_depth
 
     n = num_windows(blurry.shape[1], window_size)
+    if compute_dtype is not None:
+        # cast-then-pack: bf16 transposes are ~10x cheaper than fp32, and
+        # the backbone casts its inputs to the compute dtype regardless
+        blurry = blurry.astype(compute_dtype)
     blurry = space_to_depth(blurry, stem_factor)
 
     def body(states, start):
@@ -82,9 +87,11 @@ def clip_loss(apply_fn: Callable, params: Any, blurry: jax.Array,
     gt_span = 2 * k - 1
     # Pack inputs AND ground truth once, outside the scan: the Charbonnier
     # terms are pointwise, so supervising packed outputs against packed GT
-    # is numerically identical to full-resolution supervision.
+    # is numerically identical to full-resolution supervision.  The input
+    # is cast to the compute dtype BEFORE packing (cheap bf16 transpose);
+    # the GT stays fp32 — the loss accumulates in fp32.
     f = model_cfg.stem_factor
-    blurry = space_to_depth(blurry, f)
+    blurry = space_to_depth(blurry.astype(jnp.dtype(model_cfg.dtype)), f)
     sharp = space_to_depth(sharp, f)
 
     if model_cfg.remat:

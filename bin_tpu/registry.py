@@ -91,7 +91,8 @@ class Model:
         states = self.initial_state(b, h, w)
         return recurrent.scan_windows(self._infer_apply_fn, params, blurry,
                                       states, self.cfg.window_size,
-                                      self.cfg.stem_factor)
+                                      self.cfg.stem_factor,
+                                      compute_dtype=jnp.dtype(self.cfg.dtype))
 
     def infer_clip(self, params: Any, blurry: jax.Array):
         """Full joint deblur + 2x interpolation of a clip.

@@ -62,6 +62,15 @@ def upsample2x(x: torch.Tensor) -> torch.Tensor:
     return F.interpolate(x, scale_factor=2, mode="bilinear", align_corners=False)
 
 
+def upsample_conv(x: torch.Tensor, p: dict) -> torch.Tensor:
+    """Twin of the decoder Upsample: bilinear 2x then REPLICATE-padded 3x3
+    conv (bin_tpu fuses this into a phase-bank conv; the replicate border is
+    part of the op's definition — see ops/fused_upsample.py)."""
+    w, b = _w(p)
+    up = F.pad(upsample2x(x), (1, 1, 1, 1), mode="replicate")
+    return F.conv2d(up, w, b)
+
+
 def space_to_depth_np(x: np.ndarray, f: int) -> np.ndarray:
     """NHWC numpy mirror of bin_tpu.ops.pixel_shuffle.space_to_depth
     (pixel-major (fy, fx, C) channel layout — NOT torch pixel_unshuffle's
@@ -112,8 +121,7 @@ def backbone_forward(params: dict, frame_a, frame_b, context=None,
         x = res_block(x, params[f"mid_{i}"], slope)
     feats = x
     for i in reversed(range(num_scales - 1)):
-        up = upsample2x(x)
-        x = lrelu(conv_same(up, params[f"up_{i}"]["Conv_0"]), slope)
+        x = lrelu(upsample_conv(x, params[f"up_{i}"]["Conv_0"]), slope)
         x = x + skips[i]
         x = res_block(x, params[f"dec_{i}"], slope)
     residual = conv_same(x, params["tail"])
