@@ -66,8 +66,13 @@ class LossConfig:
     charbonnier_eps: float = 1e-6
     level_weights: tuple[float, ...] = (1.0, 1.0, 1.0)  # per pyramid level
     cycle_weight: float = 0.1
-    perceptual_weight: float = 0.0  # gradient-domain perceptual term (no VGG
-                                    # weights available offline; see losses.py)
+    perceptual_weight: float = 0.0  # weight of the perceptual term
+    perceptual_mode: str = "gradient"  # "gradient" (weight-free surrogate) |
+                                    # "vgg" (VGG-16 features; bin_tpu/perceptual.py)
+    vgg_weights: str = ""           # torchvision .pth / .npz path; empty with
+                                    # mode="vgg" -> fixed-seed random VGG
+                                    # filters (documented offline fallback)
+    vgg_layers: tuple[str, ...] = ("relu1_2", "relu2_2", "relu3_3")
 
 
 @dataclass(frozen=True)

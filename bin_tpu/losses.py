@@ -5,20 +5,45 @@ of per-output Charbonnier/L1 terms over every supervised pyramid output and
 time step, a cycle-consistency term between same-timestamp outputs of
 different levels, and (extended config) a perceptual term.
 
-Perceptual term: the reference uses VGG features; no pretrained VGG weights
-exist on this machine (no network — SURVEY.md §8 hard part (c)), so the
-pluggable default is a gradient-domain (edge) loss which needs no weights;
-a VGG-feature loss can be registered once weights are available.
+Perceptual term: the reference uses VGG features.  ``perceptual_mode="vgg"``
+uses the VGG-16 extractor in bin_tpu/perceptual.py (torchvision weight
+import, or fixed-seed random filters offline); the default
+``perceptual_mode="gradient"`` is a weight-free gradient-domain surrogate.
 """
 
 from __future__ import annotations
+
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
 from bin_tpu.config import LossConfig
 
-__all__ = ["charbonnier", "gradient_loss", "pyramid_loss"]
+__all__ = ["charbonnier", "gradient_loss", "pyramid_loss",
+           "build_perceptual_fn"]
+
+
+def build_perceptual_fn(cfg: LossConfig) -> Callable | None:
+    """Resolve the configured perceptual distance, or None when disabled.
+
+    Returns a (pred_rgb, target_rgb) -> scalar callable; RGB in [0, 1],
+    unpacked domain.  VGG params load once here and ride into the jitted
+    loss as constants.
+    """
+    if cfg.perceptual_weight <= 0.0:
+        return None
+    if cfg.perceptual_mode == "gradient":
+        return lambda p, t: gradient_loss(p, t, cfg.charbonnier_eps)
+    if cfg.perceptual_mode == "vgg":
+        from bin_tpu.perceptual import (LAYER_TAPS, init_vgg16_params,
+                                        load_vgg16_params, make_perceptual_fn)
+        deepest = max(LAYER_TAPS[n] for n in cfg.vgg_layers)
+        params = (load_vgg16_params(cfg.vgg_weights, num_convs=deepest + 1)
+                  if cfg.vgg_weights
+                  else init_vgg16_params(seed=0, num_convs=deepest + 1))
+        return make_perceptual_fn(params, cfg.vgg_layers)
+    raise ValueError(f"unknown perceptual_mode {cfg.perceptual_mode!r}")
 
 
 def charbonnier(pred: jax.Array, target: jax.Array, eps: float = 1e-6) -> jax.Array:
@@ -41,7 +66,9 @@ def gradient_loss(pred: jax.Array, target: jax.Array, eps: float = 1e-6) -> jax.
 
 def pyramid_loss(outputs: list[jax.Array], gt: jax.Array,
                  cfg: LossConfig, window_size: int,
-                 stem_factor: int = 1) -> tuple[jax.Array, dict]:
+                 stem_factor: int = 1,
+                 perceptual_fn: Callable | None = None
+                 ) -> tuple[jax.Array, dict]:
     """Deep-supervised loss for one window step.
 
     outputs: per-level lists from BINPyramid — level l entry shaped
@@ -49,10 +76,12 @@ def pyramid_loss(outputs: list[jax.Array], gt: jax.Array,
     gt:      (B, 2*window_size-1, h, w, C) sharp frames on the window's
              2x-rate output grid, in the SAME (packed or unpacked) domain
              as the outputs.
+    perceptual_fn: from build_perceptual_fn; defaults to the gradient
+             surrogate when perceptual_weight > 0 and none is given.
 
     Charbonnier and cycle terms are pointwise — identical in packed domain.
-    The gradient-perceptual term is spatial, so with ``stem_factor > 1`` it
-    unpacks its operands first (only when perceptual_weight > 0).
+    Perceptual terms are spatial, so with ``stem_factor > 1`` the operands
+    are unpacked first (only when perceptual_weight > 0).
     """
     from bin_tpu.models.pyramid import level_output_times
     from bin_tpu.ops.pixel_shuffle import depth_to_space
@@ -77,9 +106,11 @@ def pyramid_loss(outputs: list[jax.Array], gt: jax.Array,
         weight = cfg.level_weights[idx] if idx < len(cfg.level_weights) else 1.0
         term = charbonnier(out, level_gt, cfg.charbonnier_eps)
         if cfg.perceptual_weight > 0.0:
-            term = term + cfg.perceptual_weight * gradient_loss(
-                depth_to_space(out, stem_factor),
-                depth_to_space(level_gt, stem_factor), cfg.charbonnier_eps)
+            fn = perceptual_fn or (
+                lambda p, t: gradient_loss(p, t, cfg.charbonnier_eps))
+            term = term + cfg.perceptual_weight * fn(
+                depth_to_space(out.astype(jnp.float32), stem_factor),
+                depth_to_space(level_gt.astype(jnp.float32), stem_factor))
         aux[f"loss_level{level}"] = term
         total = total + weight * term
         if center_t is not None and center_t in times:

@@ -72,7 +72,7 @@ def scan_windows(apply_fn: Callable, params: Any, blurry: jax.Array,
 
 def clip_loss(apply_fn: Callable, params: Any, blurry: jax.Array,
               sharp: jax.Array, init_states: list, model_cfg: ModelConfig,
-              loss_cfg: LossConfig):
+              loss_cfg: LossConfig, perceptual_fn: Callable | None = None):
     """Mean deep-supervised loss over all windows of a clip.
 
     The loss is accumulated INSIDE the scan (constant memory in clip length
@@ -103,7 +103,8 @@ def clip_loss(apply_fn: Callable, params: Any, blurry: jax.Array,
         window = jax.lax.dynamic_slice_in_dim(blurry, start, k, axis=1)
         gt = jax.lax.dynamic_slice_in_dim(sharp, 2 * start, gt_span, axis=1)
         outputs, new_states = apply_fn(params, window, states)
-        loss, aux = pyramid_loss(outputs, gt, loss_cfg, k, stem_factor=f)
+        loss, aux = pyramid_loss(outputs, gt, loss_cfg, k, stem_factor=f,
+                                 perceptual_fn=perceptual_fn)
         return new_states, (loss, aux)
 
     starts = jnp.arange(n)

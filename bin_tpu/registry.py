@@ -106,11 +106,12 @@ class Model:
                                        self.cfg.stem_factor)
 
     def loss_clip(self, params: Any, blurry: jax.Array, sharp: jax.Array,
-                  loss_cfg: LossConfig):
+                  loss_cfg: LossConfig, perceptual_fn: Any = None):
         b, _, h, w, _ = blurry.shape
         states = self.initial_state(b, h, w)
         return recurrent.clip_loss(self._apply_fn, params, blurry, sharp,
-                                   states, self.cfg, loss_cfg)
+                                   states, self.cfg, loss_cfg,
+                                   perceptual_fn=perceptual_fn)
 
 
 def build_model(cfg: Config | ModelConfig) -> Model:

@@ -35,12 +35,15 @@ def make_train_step(model: Model, cfg: Config,
     batch = {"blurry": (B,K,H,W,3), "sharp": (B,2K-1,H,W,3)} — already
     device-put with the plan's batch sharding when a mesh is used.
     """
+    from bin_tpu.losses import build_perceptual_fn
+
     optimizer = make_optimizer(cfg.optim)
+    perceptual_fn = build_perceptual_fn(cfg.loss)
 
     def step(state: TrainState, batch: dict[str, jax.Array]):
         def loss_fn(params):
             return model.loss_clip(params, batch["blurry"], batch["sharp"],
-                                   cfg.loss)
+                                   cfg.loss, perceptual_fn=perceptual_fn)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
