@@ -88,7 +88,12 @@ class DataConfig:
     blur_taps: int = 11            # sharp frames averaged into one blurry frame
     blur_stride: int = 8           # stride between blurry frames (240fps->30fps)
     random_flip: bool = True
-    num_workers: int = 0           # single host CPU core: keep loader in-process
+    loader: str = "thread"         # "thread" (lean in-process prefetch) |
+                                   # "grain" (deterministic, checkpointable,
+                                   # worker processes — SURVEY.md §6.2)
+    num_workers: int = 0           # grain worker processes (>0 implies
+                                   # loader="grain"; 0 = in-process, right
+                                   # for this 1-CPU-core host)
     prefetch: int = 2
 
 

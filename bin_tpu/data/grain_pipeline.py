@@ -44,6 +44,12 @@ def grain_train_iterator(source, batch_size: int, crop_size: tuple[int, int],
         def __getitem__(self, i):
             return source[int(i)]
 
+        def __repr__(self):
+            # grain validates checkpoints against repr(data_source): must be
+            # stable across processes (default repr embeds the object id)
+            return (f"bin_tpu._Source({type(source).__name__}, "
+                    f"len={len(source)})")
+
     class _CropFlip(gp.RandomMapTransform):
         def random_map(self, sample, rng: np.random.Generator):
             return _random_crop_flip(sample, crop_size, rng, random_flip)

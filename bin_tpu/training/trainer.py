@@ -96,7 +96,9 @@ def train_loop(cfg: Config, model: Model, state: TrainState,
                batches: Iterator[dict[str, Any]], num_steps: int,
                logger: MetricLogger, plan: MeshPlan | None = None,
                checkpoint_cb: Callable[[int, TrainState], None] | None = None,
-               ) -> TrainState:
+               start_step: int = 0) -> TrainState:
+    """Run ``num_steps`` steps; ``start_step`` is the restored global step so
+    logging/checkpoint indices continue instead of restarting at 1."""
     step_fn = make_train_step(model, cfg, plan)
     log_every = max(1, cfg.log.log_interval_steps)
     t_last = time.monotonic()
@@ -116,8 +118,8 @@ def train_loop(cfg: Config, model: Model, state: TrainState,
         batch = next(device_batches)
         frames_since += batch["blurry"].shape[0] * batch["blurry"].shape[1]
         state, aux = step_fn(state, batch)
-        step_num = i + 1
-        if step_num % log_every == 0 or step_num == num_steps:
+        step_num = start_step + i + 1
+        if step_num % log_every == 0 or i + 1 == num_steps:
             aux = jax.device_get(aux)  # sync point, only at log interval
             now = time.monotonic()
             fps = frames_since / max(now - t_last, 1e-9)
@@ -163,21 +165,73 @@ def train(cfg: Config, workdir: str = "runs/latest",
         from bin_tpu.parallel.mesh import replicated
         state = replicated(plan, state)
 
-    source = _make_source(cfg)
-    batches = train_iterator(source, cfg.data.batch_size, cfg.data.crop_size,
-                             seed=cfg.seed, random_flip=cfg.data.random_flip,
-                             prefetch=cfg.data.prefetch)
-
     manager = ckpt.make_manager(os.path.join(workdir, cfg.checkpoint.directory),
                                 cfg.checkpoint)
     state = ckpt.restore_if_available(manager, state)
+    start_step = int(jax.device_get(state.step))
+
+    source = _make_source(cfg)
+    use_grain = cfg.data.loader == "grain" or cfg.data.num_workers > 0
+    loader_state_at = None
+    if use_grain:
+        # Grain loader: deterministic + checkpointable.  Loader state is
+        # saved per checkpoint so a resumed run replays the EXACT batch
+        # sequence of an uninterrupted one (SURVEY.md §6.2/§6.4).  Because
+        # device_prefetch pulls ahead, the state snapshot taken after
+        # producing batch i is indexed by CONSUMED step, not produce time.
+        from bin_tpu.data.grain_pipeline import grain_train_iterator
+        loader_dir = os.path.join(workdir, cfg.checkpoint.directory + "_loader")
+        os.makedirs(loader_dir, exist_ok=True)
+        grain_it = grain_train_iterator(
+            source, cfg.data.batch_size, cfg.data.crop_size, seed=cfg.seed,
+            random_flip=cfg.data.random_flip, num_workers=cfg.data.num_workers)
+        if start_step > 0:
+            path = os.path.join(loader_dir, f"{start_step}.bin")
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    grain_it.set_state(f.read())
+
+        produced: dict[int, bytes] = {}
+
+        def batches_gen():
+            i = 0
+            while True:
+                b = next(grain_it)
+                i += 1
+                produced[i] = grain_it.get_state()
+                yield b
+
+        def loader_state_at(step: int) -> bytes:
+            idx = step - start_step
+            st = produced[idx]
+            for k in [k for k in produced if k < idx]:
+                del produced[k]  # bound memory on long runs
+            return st
+
+        batches = batches_gen()
+    else:
+        batches = train_iterator(source, cfg.data.batch_size,
+                                 cfg.data.crop_size, seed=cfg.seed,
+                                 random_flip=cfg.data.random_flip,
+                                 prefetch=cfg.data.prefetch)
 
     def save_cb(step: int, s: TrainState):
         if step % cfg.checkpoint.save_interval_steps == 0:
             ckpt.save(manager, step, s)
+            if loader_state_at is not None:
+                with open(os.path.join(loader_dir, f"{step}.bin"), "wb") as f:
+                    f.write(loader_state_at(step))
+                keep = sorted(
+                    (int(p.split(".")[0]) for p in os.listdir(loader_dir)
+                     if p.endswith(".bin")))[:-cfg.checkpoint.keep_last_n]
+                for old in keep:
+                    os.remove(os.path.join(loader_dir, f"{old}.bin"))
 
-    state = train_loop(cfg, model, state, batches, num_steps, logger, plan,
-                       checkpoint_cb=save_cb)
+    # ``num_steps`` is the TOTAL step target: a resumed run trains only the
+    # remainder (the reference's --resume semantics, SURVEY.md §6.4).
+    remaining = max(0, num_steps - start_step)
+    state = train_loop(cfg, model, state, batches, remaining, logger, plan,
+                       checkpoint_cb=save_cb, start_step=start_step)
     manager.wait_until_finished()
     logger.close()
     return state
