@@ -41,30 +41,37 @@ def log(*args):
 
 def _streaming_bench(args, model, params, blurry):
     """End-to-end serving-path benchmark: StreamingSession.push per key,
-    INCLUDING the host boundary (pack, upload, emit fetch) — real wall
+    INCLUDING the host boundary (pack, upload, emission fetch) — real wall
     clock per emitted output frame, the number a serving deployment sees.
-    Unlike the batch bench this deliberately measures host overheads, so
-    it needs no slope trick: each push materializes its emissions."""
+
+    Emissions stay on device and are fetched in ONE stacked transfer every
+    ``--drain-every`` keys (VERDICT r1 item 9): push dispatch is async, so
+    only the periodic drain pays the tunnel round trip."""
     import json
     import time
 
     from bin_tpu.evaluation.streaming import StreamingSession
 
     b, k, h, w = blurry.shape[:4]
-    sess = StreamingSession(model, params, batch=b, height=h, width=w)
+    sess = StreamingSession(model, params, batch=b, height=h, width=w,
+                            buffer_drain=True)
     t0 = time.monotonic()
     for i in range(k):  # warmup pass: fills window, compiles the step
         sess.push(blurry[:, i])
+    sess.drain()
     log(f"streaming warmup (compile): {time.monotonic() - t0:.1f}s")
 
     sess.reset()
     frames_out = 0
     t0 = time.monotonic()
     reps = max(2, args.iters)
-    for _ in range(reps):
+    for r in range(reps):
         for i in range(k):
-            out = sess.push(blurry[:, i])
-            frames_out += sum(f.shape[0] for _, f in out)
+            sess.push(blurry[:, i])
+            keys_done = r * k + i + 1
+            if keys_done % args.drain_every == 0:
+                frames_out += sum(f.shape[0] for _, f in sess.drain())
+    frames_out += sum(f.shape[0] for _, f in sess.drain())
     dt = time.monotonic() - t0
     fps = frames_out / dt
     per_key_ms = dt / (reps * k) * 1e3
@@ -74,6 +81,7 @@ def _streaming_bench(args, model, params, blurry):
         "unit": "frames/s",
         "vs_baseline": None,
         "detail": {"batch_streams": b, "per_key_latency_ms": round(per_key_ms, 1),
+                   "drain_every": args.drain_every,
                    "shape": [b, h, w], "dtype": args.dtype},
     }
     print(json.dumps(record), flush=True)
@@ -99,6 +107,9 @@ def main(argv=None):
                    help="measure the StreamingSession serving path "
                         "(per-key wall latency incl. host boundary) instead "
                         "of the batch clip scan")
+    p.add_argument("--drain-every", type=int, default=8,
+                   help="streaming mode: fetch buffered emissions every N "
+                        "keys (1 = per-key fetch, the round-1 behavior)")
     args = p.parse_args(argv)
 
     import jax

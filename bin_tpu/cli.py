@@ -46,7 +46,9 @@ def eval_main(argv: list[str] | None = None) -> None:
     from bin_tpu.evaluation.evaluator import evaluate_cli
     cfg, args = parse_config(argv, "Evaluate PSNR/SSIM of a bin_tpu model.", {
         "--checkpoint": dict(default="", help="checkpoint dir (empty = random init)"),
-        "--num-clips": dict(type=int, default=4, help="eval clips (synthetic)"),
+        "--num-clips": dict(type=int, default=None,
+                            help="eval clips (default: the preset's pinned "
+                                 "eval protocol, data.eval_num_clips)"),
         "--save-dir": dict(default="", help="write output frames as PNGs here"),
     })
     evaluate_cli(cfg, checkpoint=args.checkpoint, num_clips=args.num_clips,

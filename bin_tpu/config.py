@@ -80,9 +80,18 @@ class DataConfig:
     """Adobe240/GoPro-style frame-folder pipeline (SURVEY.md §3.2, §4.3)."""
 
     dataset: str = "synthetic"     # "synthetic" | "adobe240" | "gopro"
+    synthetic_style: str = "textured"  # "textured" (hard: occlusion, sharp
+                                   # edges, large motion — the quality
+                                   # benchmark) | "smooth" (easy blobs)
     root: str = ""                 # frame-folder tree root (blurry/ + sharp/)
     crop_size: tuple[int, int] = (128, 128)   # train crop (H, W)
     eval_size: tuple[int, int] = (352, 640)   # eval resolution (H, W)
+    # Pinned eval protocol (fixed clip count/length per preset so quality
+    # numbers are comparable across rounds/runs — VERDICT r1 item 10):
+    eval_num_clips: int = 16       # clips per eval pass
+    eval_num_keys: int = 12        # blurry keys per eval clip
+    eval_seed: int = 9999          # synthetic eval stream seed (held out
+                                   # from training seeds)
     seq_len: int = 4               # key frames per training sample
     batch_size: int = 8
     blur_taps: int = 11            # sharp frames averaged into one blurry frame

@@ -37,7 +37,8 @@ class SyntheticSource:
 
     def __init__(self, num_samples: int, num_keys: int, height: int, width: int,
                  taps: int = 11, stride: int = 8, seed: int = 0,
-                 cache: bool = False, as_u8: bool = False):
+                 cache: bool = False, as_u8: bool = False,
+                 style: str = "smooth"):
         self.num_samples = num_samples
         self.num_keys = num_keys
         self.height = height
@@ -45,6 +46,7 @@ class SyntheticSource:
         self.taps = taps
         self.stride = stride
         self.seed = seed
+        self.style = style
         self.as_u8 = as_u8  # quantize to uint8, like real PNG datasets:
                             # 4x less cache traffic + the native crop path
         self._cache: dict[int, dict[str, np.ndarray]] | None = {} if cache else None
@@ -59,7 +61,7 @@ class SyntheticSource:
             return self._cache[i]
         sample = synthetic.make_sample(self.seed * 1_000_003 + i, self.num_keys,
                                        self.height, self.width, self.taps,
-                                       self.stride)
+                                       self.stride, style=self.style)
         if self.as_u8:
             sample = {k: (v * 255.0 + 0.5).astype(np.uint8)
                       for k, v in sample.items()}

@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["render_sharp_clip", "synthesize_blur", "make_sample", "num_sharp_needed"]
+__all__ = ["render_sharp_clip", "render_textured_clip", "synthesize_blur",
+           "make_sample", "num_sharp_needed"]
 
 
 def num_sharp_needed(num_keys: int, taps: int = 11, stride: int = 8) -> int:
@@ -24,13 +25,104 @@ def num_sharp_needed(num_keys: int, taps: int = 11, stride: int = 8) -> int:
     return (num_keys - 1) * stride + taps
 
 
-def render_sharp_clip(seed: int, num_frames: int, height: int, width: int,
-                      num_blobs: int = 8) -> np.ndarray:
-    """Render (T, H, W, 3) float32 frames in [0, 1] of moving Gaussian blobs.
+def _smooth_noise(rng: np.random.Generator, height: int, width: int,
+                  scale: int) -> np.ndarray:
+    """Band-limited (H, W, 3) texture in [0, 1]: box-smoothed white noise."""
+    noise = rng.normal(size=(height, width, 3)).astype(np.float32)
+    k = max(1, scale)
+    cs = np.cumsum(np.cumsum(np.pad(noise, ((k, 0), (k, 0), (0, 0))), 0), 1)
+    box = (cs[k:, k:] - cs[:-k, k:] - cs[k:, :-k] + cs[:-k, :-k]) / (k * k)
+    lo, hi = box.min(), box.max()
+    return (box - lo) / max(hi - lo, 1e-6)
 
-    Motion is linear in time with per-blob velocity of a few pixels per
+
+def _bilinear_shift(img: np.ndarray, dy: float, dx: float) -> np.ndarray:
+    """Sample ``img`` at (y+dy, x+dx) with bilinear weights, edge-clamped."""
+    h, w = img.shape[:2]
+    y = np.clip(np.arange(h, dtype=np.float32) + dy, 0, h - 1)
+    x = np.clip(np.arange(w, dtype=np.float32) + dx, 0, w - 1)
+    y0 = np.floor(y).astype(np.int64)
+    x0 = np.floor(x).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (y - y0)[:, None, None]
+    wx = (x - x0)[None, :, None]
+    a = img[y0][:, x0] * (1 - wy) * (1 - wx) + img[y0][:, x1] * (1 - wy) * wx
+    b = img[y1][:, x0] * wy * (1 - wx) + img[y1][:, x1] * wy * wx
+    return a + b
+
+
+def render_textured_clip(seed: int, num_frames: int, height: int, width: int,
+                         num_objects: int = 6) -> np.ndarray:
+    """Hard variant: textured background + occluding textured rectangles
+    with sharp edges and large velocities (VERDICT r1 item 5).
+
+    The smooth-blob scenes leave the no-learning deblur baseline at ~38 dB
+    (blur barely hurts smooth gradients), so deblur learning was
+    unmeasurable.  Here high-frequency texture + fast motion (up to ~6 px
+    per 240fps frame -> ~60 px streaks over an 11-tap blur) pull the blurry
+    input down to a realistic ~28-29 dB (SURVEY.md §7 anchors).  Objects are
+    drawn back-to-front, so edges occlude and dis-occlude.
+    """
+    rng = np.random.Generator(np.random.Philox(seed))
+    bg = _smooth_noise(rng, height, width, scale=max(4, height // 32))
+    bg = 0.15 + 0.7 * bg
+    bg_vel = rng.uniform(-1.0, 1.0, size=2).astype(np.float32)
+
+    objs = []
+    for _ in range(num_objects):
+        oh = int(rng.integers(height // 8, height // 2))
+        ow = int(rng.integers(width // 8, width // 2))
+        tex = _smooth_noise(rng, oh, ow, scale=max(2, min(oh, ow) // 8))
+        tint = rng.uniform(0.3, 1.0, size=3).astype(np.float32)
+        objs.append({
+            "tex": (0.1 + 0.8 * tex) * tint,
+            "pos": rng.uniform([0, 0], [height - oh, width - ow]).astype(np.float32),
+            # up to ~±4 px per 240fps frame -> up to ~44 px streaks over an
+            # 11-tap blur; lands the blurry-input baseline at a realistic
+            # ~27-29 dB (SURVEY.md §7 anchors)
+            "vel": rng.uniform(-4.0, 4.0, size=2).astype(np.float32),
+            "size": (oh, ow),
+        })
+
+    frames = np.empty((num_frames, height, width, 3), dtype=np.float32)
+    for t in range(num_frames):
+        img = _bilinear_shift(bg, float(bg_vel[0] * t), float(bg_vel[1] * t))
+        for o in objs:  # back-to-front: later objects occlude earlier ones
+            oh, ow = o["size"]
+            py = float(o["pos"][0] + o["vel"][0] * t)
+            px = float(o["pos"][1] + o["vel"][1] * t)
+            # wrap so objects stay in play over long clips
+            py = py % (height + oh) - oh
+            px = px % (width + ow) - ow
+            iy0, ix0 = int(np.ceil(py)), int(np.ceil(px))
+            # subpixel: sample the texture at the fractional offset
+            sub = _bilinear_shift(o["tex"], iy0 - py - 0.0, ix0 - px - 0.0)
+            y0, y1 = max(iy0, 0), min(iy0 + oh, height)
+            x0, x1 = max(ix0, 0), min(ix0 + ow, width)
+            if y0 >= y1 or x0 >= x1:
+                continue
+            img[y0:y1, x0:x1] = sub[y0 - iy0:y1 - iy0, x0 - ix0:x1 - ix0]
+        np.clip(img, 0.0, 1.0, out=img)
+        frames[t] = img
+    return frames
+
+
+def render_sharp_clip(seed: int, num_frames: int, height: int, width: int,
+                      num_blobs: int = 8, style: str = "smooth") -> np.ndarray:
+    """Render (T, H, W, 3) float32 frames in [0, 1].
+
+    style="smooth": moving Gaussian blobs over a gradient (easy; the
+    original round-1 content).  style="textured": occluding textured
+    rectangles, sharp edges, larger motion (hard; realistic blur damage).
+
+    Motion is linear in time with per-object velocity of a few pixels per
     240fps frame, so an 11-tap average produces realistic motion blur streaks.
     """
+    if style == "textured":
+        return render_textured_clip(seed, num_frames, height, width)
+    if style != "smooth":
+        raise ValueError(f"unknown synthetic style {style!r}")
     rng = np.random.Generator(np.random.Philox(seed))
     ys, xs = np.mgrid[0:height, 0:width].astype(np.float32)
 
@@ -100,7 +192,8 @@ def gt_indices(num_keys: int, taps: int = 11, stride: int = 8) -> np.ndarray:
 
 
 def make_sample(seed: int, num_keys: int, height: int, width: int,
-                taps: int = 11, stride: int = 8) -> dict[str, np.ndarray]:
+                taps: int = 11, stride: int = 8,
+                style: str = "smooth") -> dict[str, np.ndarray]:
     """One training/eval sample.
 
     Returns
@@ -108,7 +201,7 @@ def make_sample(seed: int, num_keys: int, height: int, width: int,
       sharp:  (2K-1, H, W, 3)   sharp GT on the 2x output grid
     """
     total = num_sharp_needed(num_keys, taps, stride)
-    clip = render_sharp_clip(seed, total, height, width)
+    clip = render_sharp_clip(seed, total, height, width, style=style)
     blurry = synthesize_blur(clip, taps, stride)
     sharp = clip[gt_indices(num_keys, taps, stride)]
     return {"blurry": blurry, "sharp": sharp}

@@ -119,8 +119,11 @@ def evaluate(model: Model, params: Any, clips: Iterable[dict[str, np.ndarray]],
     return results
 
 
-def evaluate_cli(cfg: Config, checkpoint: str = "", num_clips: int = 4,
+def evaluate_cli(cfg: Config, checkpoint: str = "", num_clips: int | None = None,
                  save_dir: str = "") -> dict:
+    """Evaluate under the config's PINNED protocol: eval_num_clips clips of
+    eval_num_keys keys at eval_size from the held-out eval_seed stream —
+    numbers are comparable across rounds for the same preset."""
     from bin_tpu.data.pipeline import SyntheticSource, eval_clips
     from bin_tpu.training.checkpoint import restore_params
 
@@ -133,13 +136,14 @@ def evaluate_cli(cfg: Config, checkpoint: str = "", num_clips: int = 4,
         params = model.init(jax.random.key(cfg.seed), height=h, width=w)
 
     h, w = cfg.data.eval_size
-    # eval keys: enough for a few windows; synthetic stand-in when no
-    # real dataset root is configured (SURVEY.md §8 hard part (f))
-    num_keys = max(cfg.data.seq_len, cfg.model.window_size + 2)
+    num_clips = num_clips or cfg.data.eval_num_clips
+    num_keys = max(cfg.data.eval_num_keys, cfg.model.window_size + 2)
     if cfg.data.dataset == "synthetic" or not cfg.data.root:
         source = SyntheticSource(num_samples=num_clips, num_keys=num_keys,
                                  height=h, width=w, taps=cfg.data.blur_taps,
-                                 stride=cfg.data.blur_stride, seed=cfg.seed + 1)
+                                 stride=cfg.data.blur_stride,
+                                 seed=cfg.data.eval_seed,
+                                 style=cfg.data.synthetic_style)
     else:
         from bin_tpu.data.frames import FrameFolderSource
         # honor the dataset's eval protocol (e.g. Adobe240 at 640x352 half

@@ -33,12 +33,25 @@ __all__ = ["StreamingSession"]
 
 
 class StreamingSession:
+    """Streaming joint deblur + 2x interp with DEVICE-RESIDENT emissions.
+
+    ``push`` returns (time, frame) pairs whose frames are unpacked jax
+    arrays still on device — dispatch is async, so push() itself does not
+    wait for the step.  Fetch to host happens either lazily (the caller
+    materializes a frame) or in one batched transfer via ``drain()`` —
+    on a tunneled device, one stacked fetch of N frames costs one round
+    trip instead of N (VERDICT r1 item 9)."""
+
     def __init__(self, model: Model, params: Any, batch: int, height: int,
-                 width: int):
+                 width: int, buffer_drain: bool = False):
+        """``buffer_drain``: additionally retain emissions on device for
+        batched fetch via drain() (off by default so a consumer that
+        materializes push() results directly keeps memory O(window))."""
         self.model = model
         self.params = params
         self.k = model.cfg.window_size
         self.batch, self.height, self.width = batch, height, width
+        self.buffer_drain = buffer_drain
         self._step = jax.jit(
             lambda p, w, s: model.apply_window(p, w, s, producer_clamp=True))
         self.reset()
@@ -51,6 +64,18 @@ class StreamingSession:
         self._keys_seen = 0
         self._last_outputs = None
         self._last_start_t = 0
+        self._pending: list[tuple[int, jax.Array]] = []  # packed, on device
+
+    def drain(self) -> list[tuple[int, np.ndarray]]:
+        """Fetch every pending emission in ONE stacked device→host transfer
+        and return (time, (B, H, W, 3) fp32 numpy) pairs in time order."""
+        if not self._pending:
+            return []
+        times = [t for t, _ in self._pending]
+        stacked = self.model.unpack(jnp.stack([f for _, f in self._pending]))
+        self._pending = []
+        host = np.asarray(jax.device_get(stacked))
+        return sorted(zip(times, host), key=lambda tf: tf[0])
 
     def _emit_plan(self, first_window: bool) -> list[tuple[int, int, int]]:
         """(level_idx, pair_idx, local_time) to emit for this window.
@@ -77,11 +102,14 @@ class StreamingSession:
         plan += [deepest(self.k - 2), deepest(self.k - 1)]
         return [p for p in plan if p is not None]
 
-    def push(self, key_frames: np.ndarray) -> list[tuple[int, np.ndarray]]:
+    def push(self, key_frames: np.ndarray) -> list[tuple[int, jax.Array]]:
         """Feed one blurry key frame per stream: (B, H, W, 3).
 
         Returns a list of (global_output_time, (B, H, W, 3) sharp frame),
-        empty until the first window fills.
+        empty until the first window fills.  Frames are DEVICE-RESIDENT
+        unpacked fp32 jax arrays (async dispatch — not yet computed when
+        returned); materialize per frame, or buffer and call ``drain()``
+        for one batched fetch.
         """
         if key_frames.shape != (self.batch, self.height, self.width, 3):
             raise ValueError(f"expected {(self.batch, self.height, self.width, 3)},"
@@ -105,14 +133,16 @@ class StreamingSession:
         first = self._keys_seen == self.k
         window_start_t = 2 * (self._keys_seen - self.k)
         self._last_outputs, self._last_start_t = outputs, window_start_t
-        return [(window_start_t + t,
-                 np.asarray(self.model.unpack(outputs[li][:, j])))
-                for li, j, t in self._emit_plan(first)]
+        emitted = [(window_start_t + t, outputs[li][:, j])
+                   for li, j, t in self._emit_plan(first)]
+        if self.buffer_drain:
+            self._pending.extend(emitted)
+        return [(t, self.model.unpack(f)) for t, f in emitted]
 
-    def flush(self) -> list[tuple[int, np.ndarray]]:
+    def flush(self) -> list[tuple[int, jax.Array]]:
         """End of stream: emit the trailing times (local K..2K-3) of the
         last computed window, which steady-state deferred to future windows
-        that will never arrive."""
+        that will never arrive.  Device-resident like push()."""
         if self._last_outputs is None:
             return []
         levels = self.model.num_levels_total
@@ -124,8 +154,9 @@ class StreamingSession:
                 if t in times_by_level[li]:
                     plan.append((li, times_by_level[li].index(t), t))
                     break
-        out = [(self._last_start_t + t,
-                np.asarray(self.model.unpack(self._last_outputs[li][:, j])))
-               for li, j, t in plan]
+        emitted = [(self._last_start_t + t, self._last_outputs[li][:, j])
+                   for li, j, t in plan]
+        if self.buffer_drain:
+            self._pending.extend(emitted)
         self._last_outputs = None
-        return out
+        return [(t, self.model.unpack(f)) for t, f in emitted]

@@ -245,7 +245,8 @@ def _make_source(cfg: Config):
                                height=ch + 16, width=cw + 16,  # room to crop
                                taps=cfg.data.blur_taps,
                                stride=cfg.data.blur_stride, seed=cfg.seed,
-                               cache=True, as_u8=True)
+                               cache=True, as_u8=True,
+                               style=cfg.data.synthetic_style)
     from bin_tpu.data.frames import FrameFolderSource
     # raw_u8: keep frames uint8 so the pipeline takes the fused native
     # crop+normalize path (training only; eval needs resizable floats)

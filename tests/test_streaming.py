@@ -74,3 +74,33 @@ def test_streaming_interp_only_model():
     times = [t for i in range(6) for t, _ in sess.push(clip[:, i])]
     times += [t for t, _ in sess.flush()]
     assert times == [1, 3, 5, 7, 9]  # odd (midpoint) times only
+
+
+def test_drain_equals_direct_materialization():
+    """Batched drain() (device-resident ring buffer, one stacked fetch)
+    returns exactly the frames push()/flush() return directly."""
+    model = build_model(SMALL)
+    params = model.init(jax.random.key(0), batch=1, height=32, width=32)
+    clip = _clip(1, 8, 32, 32, seed=3)
+
+    direct = {}
+    s1 = StreamingSession(model, params, batch=1, height=32, width=32)
+    for i in range(8):
+        for t, f in s1.push(clip[:, i]):
+            direct[t] = np.asarray(f)
+    for t, f in s1.flush():
+        direct[t] = np.asarray(f)
+
+    s2 = StreamingSession(model, params, batch=1, height=32, width=32,
+                          buffer_drain=True)
+    for i in range(8):
+        s2.push(clip[:, i])
+    s2.flush()
+    drained = dict(s2.drain())
+    assert sorted(drained) == sorted(direct)
+    for t in direct:
+        np.testing.assert_allclose(direct[t], drained[t], atol=1e-6)
+    assert s2.drain() == []  # buffer cleared
+
+    # without buffer_drain, nothing is retained
+    assert s1.drain() == []

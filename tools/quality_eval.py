@@ -58,16 +58,21 @@ def main():
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--preset", default="config3_prf")
     ap.add_argument("--size", type=int, default=256)
-    ap.add_argument("--keys", type=int, default=8)
-    ap.add_argument("--clips", type=int, default=4)
+    ap.add_argument("--keys", type=int, default=12)
+    ap.add_argument("--clips", type=int, default=16)
+    ap.add_argument("--style", default=None,
+                    help="synthetic style override (default: preset's)")
+    ap.add_argument("--set", dest="overrides", action="append", default=[])
     args = ap.parse_args()
 
-    cfg = get_config(args.preset)
+    cfg = get_config(args.preset, args.overrides)
     model = build_model(cfg)
     params = restore_params(args.checkpoint)
 
     source = SyntheticSource(num_samples=args.clips, num_keys=args.keys,
-                             height=args.size, width=args.size, seed=999)
+                             height=args.size, width=args.size,
+                             seed=cfg.data.eval_seed,
+                             style=args.style or cfg.data.synthetic_style)
 
     base = {}
     for clip in eval_clips(source, batch_size=1):
