@@ -64,3 +64,71 @@ def prep_main(argv: list[str] | None = None) -> None:
     """Offline blur-synthesis over a sharp-frame folder tree (SURVEY.md §4.3)."""
     from bin_tpu.data.blur import prep_cli
     prep_cli(argv)
+
+
+def export_main(argv: list[str] | None = None) -> None:
+    """Export a training checkpoint as a portable released-weights file
+    (the reference's pretrained state_dict equivalent, SURVEY.md §3.2)."""
+    from bin_tpu.training.checkpoint import restore_params
+    from bin_tpu.weights import export_weights
+
+    cfg, args = parse_config(argv, "Export released weights from a checkpoint.", {
+        "--checkpoint": dict(required=True, help="checkpoint directory"),
+        "--out": dict(required=True, help="output .npz weights file"),
+        "--note": dict(default="", help="free-form metadata note"),
+    })
+    params = restore_params(args.checkpoint)
+    export_weights(args.out, params, cfg.model,
+                   metadata={"preset": cfg.preset, "note": args.note})
+    print(f"wrote {args.out}")
+
+
+def demo_main(argv: list[str] | None = None) -> None:
+    """Demo: consume a released weights file, run joint deblur + 2x interp
+    on a blurry frame folder (or a synthetic clip), write output PNGs —
+    the reference's demo.py flow (SURVEY.md §4.2)."""
+    import argparse
+
+    import jax
+    import numpy as np
+
+    p = argparse.ArgumentParser(description=demo_main.__doc__)
+    p.add_argument("--weights", required=True, help=".npz from bin-tpu-export")
+    p.add_argument("--input", default="synthetic",
+                   help="folder of blurry key-frame images, or 'synthetic'")
+    p.add_argument("--out", default="demo_out", help="output PNG folder")
+    p.add_argument("--size", type=int, nargs=2, default=(256, 256),
+                   metavar=("H", "W"), help="synthetic input size")
+    p.add_argument("--keys", type=int, default=10, help="synthetic clip keys")
+    args = p.parse_args(argv)
+
+    from bin_tpu.evaluation.evaluator import save_clip_frames
+    from bin_tpu.registry import build_model
+    from bin_tpu.weights import load_weights
+
+    params, model_cfg, meta = load_weights(args.weights)
+    model = build_model(model_cfg)
+    print(f"loaded {args.weights}: preset={meta.get('preset', '?')} "
+          f"model={model_cfg.name}")
+
+    if args.input == "synthetic":
+        from bin_tpu.data.synthetic import make_sample
+        h, w = args.size
+        sample = make_sample(seed=7, num_keys=args.keys, height=h, width=w,
+                             style="textured")
+        blurry = sample["blurry"][None]
+    else:
+        from bin_tpu.data.frames import load_frame
+        import os
+        paths = sorted(os.path.join(args.input, f)
+                       for f in os.listdir(args.input)
+                       if f.lower().endswith((".png", ".jpg", ".npy")))
+        if len(paths) < model_cfg.window_size:
+            raise SystemExit(f"need >= {model_cfg.window_size} frames, "
+                             f"got {len(paths)}")
+        blurry = np.stack([load_frame(f) for f in paths])[None]
+
+    video, times = jax.jit(model.infer_clip)(params, blurry)
+    save_clip_frames(np.asarray(video[0]), times, args.out, "demo")
+    print(f"wrote {video.shape[1]} sharp frames (2x rate, times "
+          f"{int(times[0])}..{int(times[-1])}) under {args.out}/demo/")

@@ -1,0 +1,57 @@
+"""Released-weights format: export/load round trip + demo CLI consumption
+(reference: pretrained state_dict + demo.py — SURVEY.md §3.2/§4.2)."""
+
+import os
+
+import numpy as np
+
+import jax
+
+from bin_tpu.config import ModelConfig
+from bin_tpu.registry import build_model
+from bin_tpu.weights import export_weights, load_weights
+
+SMALL = ModelConfig(name="prf", base_features=8, channel_mult=(1, 2, 4),
+                    num_res_blocks=1, convlstm_features=16, stem_factor=2)
+
+
+def test_export_load_roundtrip(tmp_path):
+    model = build_model(SMALL)
+    params = model.init(jax.random.key(0))
+    path = str(tmp_path / "weights.npz")
+    export_weights(path, params, SMALL, metadata={"preset": "test", "step": 7})
+
+    params2, cfg2, meta = load_weights(path)
+    assert cfg2 == build_model(SMALL).cfg  # normalized model config survives
+    assert meta == {"preset": "test", "step": 7}
+    flat1 = jax.tree.leaves_with_path(params)
+    flat2 = jax.tree.leaves_with_path(params2)
+    assert len(flat1) == len(flat2)
+    for (p1, a), (p2, b) in zip(sorted(flat1, key=lambda x: str(x[0])),
+                                sorted(flat2, key=lambda x: str(x[0]))):
+        assert str(p1) == str(p2)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # loaded weights drive the model identically
+    rng = np.random.default_rng(0)
+    clip = rng.uniform(0, 1, (1, 6, 32, 32, 3)).astype(np.float32)
+    v1, _ = model.infer_clip(params, clip)
+    model2 = build_model(cfg2)
+    v2, _ = model2.infer_clip(params2, clip)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_demo_cli_consumes_weights(tmp_path):
+    from bin_tpu.cli import demo_main
+
+    model = build_model(SMALL)
+    params = model.init(jax.random.key(1))
+    path = str(tmp_path / "w.npz")
+    export_weights(path, params, SMALL, metadata={"preset": "test"})
+
+    out = str(tmp_path / "out")
+    demo_main(["--weights", path, "--input", "synthetic",
+               "--out", out, "--size", "64", "64", "--keys", "6"])
+    pngs = os.listdir(os.path.join(out, "demo"))
+    assert len(pngs) == 9  # 2*6-3 covered timestamps
+    assert all(p.endswith(".png") for p in pngs)
