@@ -215,23 +215,31 @@ def train(cfg: Config, workdir: str = "runs/latest",
                                  random_flip=cfg.data.random_flip,
                                  prefetch=cfg.data.prefetch)
 
+    def save_now(step: int, s: TrainState):
+        ckpt.save(manager, step, s)
+        if loader_state_at is not None:
+            with open(os.path.join(loader_dir, f"{step}.bin"), "wb") as f:
+                f.write(loader_state_at(step))
+            keep = sorted(
+                (int(p.split(".")[0]) for p in os.listdir(loader_dir)
+                 if p.endswith(".bin")))[:-cfg.checkpoint.keep_last_n]
+            for old in keep:
+                os.remove(os.path.join(loader_dir, f"{old}.bin"))
+
     def save_cb(step: int, s: TrainState):
         if step % cfg.checkpoint.save_interval_steps == 0:
-            ckpt.save(manager, step, s)
-            if loader_state_at is not None:
-                with open(os.path.join(loader_dir, f"{step}.bin"), "wb") as f:
-                    f.write(loader_state_at(step))
-                keep = sorted(
-                    (int(p.split(".")[0]) for p in os.listdir(loader_dir)
-                     if p.endswith(".bin")))[:-cfg.checkpoint.keep_last_n]
-                for old in keep:
-                    os.remove(os.path.join(loader_dir, f"{old}.bin"))
+            save_now(step, s)
 
     # ``num_steps`` is the TOTAL step target: a resumed run trains only the
     # remainder (the reference's --resume semantics, SURVEY.md §6.4).
     remaining = max(0, num_steps - start_step)
     state = train_loop(cfg, model, state, batches, remaining, logger, plan,
                        checkpoint_cb=save_cb, start_step=start_step)
+    final_step = start_step + remaining
+    if remaining and final_step % cfg.checkpoint.save_interval_steps != 0:
+        # Always leave a checkpoint at the last step (the reference saves at
+        # every epoch boundary; short runs must still be evaluable/resumable).
+        save_now(final_step, state)
     manager.wait_until_finished()
     logger.close()
     return state

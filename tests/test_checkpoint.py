@@ -71,3 +71,21 @@ def test_keep_last_n(setup):
     manager.wait_until_finished()
     assert manager.latest_step() == 3
     assert sorted(manager.all_steps()) == [2, 3]
+
+def test_final_step_checkpoint_always_saved(tmp_path):
+    """A run whose last step is not on the save interval still leaves a
+    checkpoint (short runs must be evaluable/resumable — VERDICT r1 item 4's
+    rehearsal trains 300 steps with interval 1000)."""
+    from bin_tpu.training.trainer import train
+
+    cfg = get_config("config1_backbone_128")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, base_features=8, num_res_blocks=1),
+        data=dataclasses.replace(cfg.data, crop_size=(32, 32), batch_size=2),
+    )
+    wd = str(tmp_path / "run")
+    train(cfg, workdir=wd, num_steps=3)
+    import os
+    steps = os.listdir(os.path.join(wd, cfg.checkpoint.directory))
+    assert "3" in steps, steps
