@@ -42,6 +42,10 @@ class ModelConfig:
     lrelu_slope: float = 0.1
     convlstm_features: int = 256   # hidden channels of the inter-pyramid ConvLSTM
     use_convlstm: bool = True      # PRF recurrence on/off (off = plain BIN)
+    use_pallas_lstm: bool = False  # fused Pallas kernel for the ConvLSTM gate
+                                   # math (ops/pallas/lstm_gates.py) instead
+                                   # of XLA's fusion — benchable A/B surface
+                                   # (tools/bench_pallas_lstm.py)
     cycle_level: bool = True       # extra top level that re-predicts the centre
                                    # frame for the cycle-consistency loss
     clamp_intermediate: bool = True  # clip frames passed between pyramid

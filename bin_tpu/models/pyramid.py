@@ -88,7 +88,8 @@ class BINPyramid(nn.Module):
         if c.use_convlstm:
             self.lstms = [
                 ConvLSTMCell(features=c.convlstm_features, dtype=dtype,
-                             param_dtype=pdtype, name=f"lstm_{l}")
+                             param_dtype=pdtype,
+                             use_pallas=c.use_pallas_lstm, name=f"lstm_{l}")
                 for l in range(1, n + 1)
             ]
 

@@ -63,3 +63,30 @@ def test_convlstm_cell_pallas_flag():
     h_p, c_p = pal_cell.apply(params, x, state)
     np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_ref), atol=1e-6)
     np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref), atol=1e-6)
+
+
+def test_pyramid_pallas_config_plumbing():
+    """model.use_pallas_lstm reaches the ConvLSTM cells and preserves the
+    forward result (interpret-mode kernel on CPU)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from bin_tpu.config import get_config
+    from bin_tpu.registry import build_model
+
+    cfg = get_config("config3_prf")
+    tiny = dataclasses.replace(
+        cfg.model, base_features=8, num_res_blocks=1, convlstm_features=16)
+    outs = {}
+    for flag in (False, True):
+        c = dataclasses.replace(
+            cfg, model=dataclasses.replace(tiny, use_pallas_lstm=flag))
+        model = build_model(c)
+        params = model.init(jax.random.key(0), batch=1, height=32, width=32)
+        x = np.random.default_rng(0).uniform(
+            0, 1, (1, 6, 32, 32, 3)).astype(np.float32)
+        video, _ = jax.jit(model.infer_clip)(params, x)
+        outs[flag] = np.asarray(video)
+    np.testing.assert_allclose(outs[False], outs[True], atol=2e-6)
