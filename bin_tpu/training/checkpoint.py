@@ -53,7 +53,16 @@ def restore_if_available(manager: ocp.CheckpointManager,
 def restore_params(directory: str) -> Any:
     """Load only the params pytree from the newest checkpoint in a dir
     (eval/demo path: no optimizer state needed).  Restores the raw saved
-    tree and extracts ``params`` so callers need no optimizer knowledge."""
+    tree and extracts ``params`` so callers need no optimizer knowledge.
+
+    Also accepts a released-weights ``.npz`` (bin-tpu-export) so every
+    params consumer — eval --checkpoint, train --init-from — can start
+    from a released file, the reference's load-pretrained flow
+    (SURVEY.md §3.2 'Model factory')."""
+    if directory.endswith(".npz"):
+        from bin_tpu.weights import load_weights
+        params, _, _ = load_weights(directory)
+        return params
     manager = make_manager(directory)
     latest = manager.latest_step()
     if latest is None:

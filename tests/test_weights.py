@@ -55,3 +55,25 @@ def test_demo_cli_consumes_weights(tmp_path):
     pngs = os.listdir(os.path.join(out, "demo"))
     assert len(pngs) == 9  # 2*6-3 covered timestamps
     assert all(p.endswith(".png") for p in pngs)
+
+
+def test_restore_params_accepts_npz(tmp_path):
+    """eval --checkpoint / train --init-from accept a released .npz
+    (load-pretrained flow, SURVEY.md §3.2)."""
+    import jax
+    import numpy as np
+
+    from bin_tpu.config import get_config
+    from bin_tpu.registry import build_model
+    from bin_tpu.training.checkpoint import restore_params
+    from bin_tpu.weights import export_weights
+
+    cfg = get_config("config1_backbone_128", [
+        "model.base_features=8", "model.num_res_blocks=1"])
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0), height=32, width=32)
+    path = str(tmp_path / "w.npz")
+    export_weights(path, params, cfg.model)
+    restored = restore_params(path)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
