@@ -118,6 +118,9 @@ class OptimConfig:
     beta1: float = 0.9
     beta2: float = 0.999
     weight_decay: float = 0.0
+    lr_warmup_steps: int = 0       # linear 0→lr warmup before the decay
+                                   # schedule (Adam moment estimates settle
+                                   # before full-size steps)
     lr_decay_steps: int = 50_000
     lr_decay_rate: float = 0.5
     grad_clip_norm: float = 1.0

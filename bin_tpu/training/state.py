@@ -12,7 +12,8 @@ import optax
 from bin_tpu.config import Config, OptimConfig
 from bin_tpu.registry import Model
 
-__all__ = ["TrainState", "make_optimizer", "create_train_state"]
+__all__ = ["TrainState", "make_lr_schedule", "make_optimizer",
+           "create_train_state"]
 
 
 @flax.struct.dataclass
@@ -22,13 +23,23 @@ class TrainState:
     opt_state: Any
 
 
-def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+def make_lr_schedule(cfg: OptimConfig) -> optax.Schedule:
     schedule = optax.exponential_decay(
         init_value=cfg.learning_rate,
         transition_steps=cfg.lr_decay_steps,
         decay_rate=cfg.lr_decay_rate,
         staircase=True,  # step decay, as the reference's scheduler
     )
+    if cfg.lr_warmup_steps > 0:
+        schedule = optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.learning_rate,
+                                   cfg.lr_warmup_steps),
+             schedule], [cfg.lr_warmup_steps])
+    return schedule
+
+
+def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    schedule = make_lr_schedule(cfg)
     chain = []
     if cfg.grad_clip_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))

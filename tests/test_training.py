@@ -97,3 +97,19 @@ def test_metric_logger(tmp_path):
     lines = [json.loads(l) for l in path.read_text().splitlines()]
     assert lines[0]["step"] == 1 and lines[0]["loss"] == 0.5
     assert lines[1]["loss"] == 0.25
+
+
+def test_lr_warmup_schedule():
+    """optim.lr_warmup_steps prepends a linear 0->lr ramp; the decay
+    schedule then counts from the end of warmup."""
+    from bin_tpu.config import OptimConfig
+    from bin_tpu.training.state import make_lr_schedule
+
+    cfg = OptimConfig(learning_rate=1e-3, lr_warmup_steps=100,
+                      lr_decay_steps=200, lr_decay_rate=0.5)
+    sched = make_lr_schedule(cfg)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(50)) - 5e-4) < 1e-9
+    assert abs(float(sched(100)) - 1e-3) < 1e-9
+    assert abs(float(sched(250)) - 1e-3) < 1e-9   # decay counts post-warmup
+    assert abs(float(sched(301)) - 5e-4) < 1e-9   # first decay at warmup+200
