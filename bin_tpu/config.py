@@ -101,6 +101,12 @@ class DataConfig:
     blur_taps: int = 11            # sharp frames averaged into one blurry frame
     blur_stride: int = 8           # stride between blurry frames (240fps->30fps)
     random_flip: bool = True
+    transfer_u8: bool = True       # ship uint8 crops to the device and
+                                   # normalize there (4x less host→device
+                                   # traffic; also bounds the axon tunnel's
+                                   # per-transfer host-buffer leak, see
+                                   # docs/DESIGN.md §4c). Only applies when
+                                   # the source yields uint8 samples.
     loader: str = "thread"         # "thread" (lean in-process prefetch) |
                                    # "grain" (deterministic, checkpointable,
                                    # worker processes — SURVEY.md §6.2)

@@ -27,6 +27,7 @@ def grain_train_iterator(source, batch_size: int, crop_size: tuple[int, int],
                          seed: int = 0, random_flip: bool = True,
                          num_workers: int = 0, num_epochs: int | None = None,
                          shard_by_process: bool = False,
+                         keep_u8: bool = False,
                          ) -> Iterator[dict[str, np.ndarray]]:
     """Grain DataLoader yielding the standard batch dict.
 
@@ -52,7 +53,8 @@ def grain_train_iterator(source, batch_size: int, crop_size: tuple[int, int],
 
     class _CropFlip(gp.RandomMapTransform):
         def random_map(self, sample, rng: np.random.Generator):
-            return _random_crop_flip(sample, crop_size, rng, random_flip)
+            return _random_crop_flip(sample, crop_size, rng, random_flip,
+                                     keep_u8=keep_u8)
 
     sharding = (gp.ShardByJaxProcess(drop_remainder=True)
                 if shard_by_process else gp.NoSharding())

@@ -71,12 +71,18 @@ class SyntheticSource:
 
 
 def _random_crop_flip(sample: dict[str, np.ndarray], crop_hw: tuple[int, int],
-                      rng: np.random.Generator, flip: bool) -> dict[str, np.ndarray]:
+                      rng: np.random.Generator, flip: bool,
+                      keep_u8: bool = False) -> dict[str, np.ndarray]:
     """Shared spatial crop + flip across the blurry/sharp frame stacks.
 
     uint8 samples (FrameFolderSource(raw_u8=True)) take the fused native
     crop+flip+normalize kernel (bin_tpu._fastops) — one pass instead of
     slice + copy + cast on the single-core host.
+
+    ``keep_u8``: emit uint8 crops (no normalization) so the host→device
+    transfer is 4× smaller; the train step normalizes on device
+    (DataConfig.transfer_u8).  The RNG draw order is identical either way,
+    so a run is bit-reproducible across the two modes.
     """
     ch, cw = crop_hw
     h, w = sample["blurry"].shape[1:3]
@@ -90,7 +96,8 @@ def _random_crop_flip(sample: dict[str, np.ndarray], crop_hw: tuple[int, int],
         fh = rng.random() < 0.5
         ft = rng.random() < 0.5  # temporal flip: valid, blur is symmetric
 
-    if all(v.dtype == np.uint8 for v in sample.values()):
+    all_u8 = all(v.dtype == np.uint8 for v in sample.values())
+    if all_u8 and not keep_u8:
         from bin_tpu.data import fastops
         return {k: fastops.crop_norm_u8(v, y0, x0, ch, cw, fh, fw, ft)
                 for k, v in sample.items()}
@@ -107,7 +114,8 @@ def _random_crop_flip(sample: dict[str, np.ndarray], crop_hw: tuple[int, int],
 
 def train_iterator(source, batch_size: int, crop_size: tuple[int, int],
                    seed: int = 0, random_flip: bool = True,
-                   prefetch: int = 2) -> Iterator[dict[str, np.ndarray]]:
+                   prefetch: int = 2,
+                   keep_u8: bool = False) -> Iterator[dict[str, np.ndarray]]:
     """Infinite iterator of batches {"blurry": (B,K,h,w,3), "sharp": (B,2K-1,h,w,3)}.
 
     Runs sampling + crop on a background thread with a bounded queue so host
@@ -120,7 +128,8 @@ def train_iterator(source, batch_size: int, crop_size: tuple[int, int],
             n = len(source)
             while True:
                 idx = rng.integers(0, n, size=batch_size)
-                items = [_random_crop_flip(source[int(i)], crop_size, rng, random_flip)
+                items = [_random_crop_flip(source[int(i)], crop_size, rng,
+                                           random_flip, keep_u8=keep_u8)
                          for i in idx]
                 batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
                 q.put(batch)

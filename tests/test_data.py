@@ -52,3 +52,21 @@ def test_eval_clips_padding_mask():
     assert len(batches) == 2
     np.testing.assert_array_equal(batches[0]["valid"], [True, True])
     np.testing.assert_array_equal(batches[1]["valid"], [True, False])
+
+
+def test_transfer_u8_batch_matches_f32_path():
+    """keep_u8 crops + on-device /255 == the host-normalized f32 path, and
+    the RNG draw order is shared so the same seed picks the same crops."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bin_tpu.data.pipeline import SyntheticSource, train_iterator
+
+    src = SyntheticSource(num_samples=4, num_keys=4, height=48, width=48,
+                          seed=0, cache=True, as_u8=True)
+    b_f32 = next(train_iterator(src, 2, (32, 32), seed=7, keep_u8=False))
+    b_u8 = next(train_iterator(src, 2, (32, 32), seed=7, keep_u8=True))
+    for k in b_f32:
+        assert b_u8[k].dtype == np.uint8
+        dev = np.asarray(jnp.asarray(b_u8[k]).astype(jnp.float32) / 255.0)
+        np.testing.assert_allclose(dev, b_f32[k], atol=1e-6)
