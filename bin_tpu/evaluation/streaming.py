@@ -43,36 +43,86 @@ class StreamingSession:
     trip instead of N (VERDICT r1 item 9)."""
 
     def __init__(self, model: Model, params: Any, batch: int, height: int,
-                 width: int, buffer_drain: bool = False):
-        """``buffer_drain``: additionally retain emissions on device for
-        batched fetch via drain() (off by default so a consumer that
-        materializes push() results directly keeps memory O(window))."""
+                 width: int, buffer_drain: bool = False,
+                 emit_u8: bool = False):
+        """``buffer_drain``: retain emissions on device for batched fetch via
+        drain(); push() then returns [] (serving mode — ONE device dispatch
+        per key, one stacked fetch per drain).  Off by default: push()
+        returns unpacked device frames directly (interactive mode).
+
+        ``emit_u8``: drain() quantizes to uint8 ON DEVICE before fetching —
+        4x less device→host traffic; display/encode sinks consume uint8
+        anyway."""
+        import functools
+
+        from bin_tpu.ops.pixel_shuffle import space_to_depth
+
         self.model = model
         self.params = params
         self.k = model.cfg.window_size
         self.batch, self.height, self.width = batch, height, width
         self.buffer_drain = buffer_drain
-        self._step = jax.jit(
-            lambda p, w, s: model.apply_window(p, w, s, producer_clamp=True))
+        self.emit_u8 = emit_u8
+        self._plans = {first: self._emit_plan(first) for first in (True, False)}
+
+        f = model.cfg.stem_factor
+        dt = jnp.dtype(model.cfg.dtype)
+
+        def ingest(frame: jax.Array) -> jax.Array:
+            # uint8 frames (what a video decoder actually produces) are
+            # normalized ON DEVICE: 4x less host→device traffic per key.
+            if frame.dtype == jnp.uint8:
+                frame = frame.astype(jnp.float32) / 255.0
+            return space_to_depth(frame.astype(dt), f)
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def _insert(frame, stack):
+            return jnp.concatenate([stack[:, 1:], ingest(frame)[:, None]], 1)
+
+        # The WHOLE per-key path — ingest + window shift + pyramid forward +
+        # emission select — is one jitted program: on a tunneled device every
+        # eager op is a ~0.5 s round trip, so dispatch count per key, not
+        # device FLOPs, dominated the round-1/-2 serving latency
+        # (docs/DESIGN.md §4c).
+        @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(2, 3))
+        def _step_emit(params, frame, stack, states, first: bool):
+            stack = jnp.concatenate([stack[:, 1:], ingest(frame)[:, None]], 1)
+            outputs, new_states = model.apply_window(params, stack, states,
+                                                     producer_clamp=True)
+            emitted = jnp.stack(
+                [outputs[li][:, j] for li, j, _ in self._plans[first]])
+            return emitted, stack, new_states, outputs
+
+        self._insert = _insert
+        self._step_emit = _step_emit
+        self._stack_shape = (batch, self.k, height // f, width // f, 3 * f * f)
+        self._stack_dtype = dt
         self.reset()
 
     def reset(self) -> None:
         """New stream(s): clear ConvLSTM carries and the frame window."""
         self.states = self.model.initial_state(self.batch, self.height,
                                                self.width)
-        self._window: list[jax.Array] = []
+        self._stack = jnp.zeros(self._stack_shape, self._stack_dtype)
         self._keys_seen = 0
         self._last_outputs = None
         self._last_start_t = 0
-        self._pending: list[tuple[int, jax.Array]] = []  # packed, on device
+        # pending emissions: (times, (E, B, h, w, C) packed device array)
+        self._pending: list[tuple[list[int], jax.Array]] = []
 
     def drain(self) -> list[tuple[int, np.ndarray]]:
         """Fetch every pending emission in ONE stacked device→host transfer
-        and return (time, (B, H, W, 3) fp32 numpy) pairs in time order."""
+        and return (time, (B, H, W, 3) numpy) pairs in time order — fp32 in
+        [0, 1], or uint8 with ``emit_u8`` (quantized on device)."""
         if not self._pending:
             return []
-        times = [t for t, _ in self._pending]
-        stacked = self.model.unpack(jnp.stack([f for _, f in self._pending]))
+        times = [t for ts, _ in self._pending for t in ts]
+        stacked = self.model.unpack(
+            jnp.concatenate([e for _, e in self._pending], axis=0))
+        if self.emit_u8:
+            stacked = jnp.round(
+                jnp.clip(stacked.astype(jnp.float32), 0.0, 1.0) * 255.0
+            ).astype(jnp.uint8)
         self._pending = []
         host = np.asarray(jax.device_get(stacked))
         return sorted(zip(times, host), key=lambda tf: tf[0])
@@ -103,41 +153,34 @@ class StreamingSession:
         return [p for p in plan if p is not None]
 
     def push(self, key_frames: np.ndarray) -> list[tuple[int, jax.Array]]:
-        """Feed one blurry key frame per stream: (B, H, W, 3).
+        """Feed one blurry key frame per stream: (B, H, W, 3), float in
+        [0, 1] or uint8 (normalized on device).
 
-        Returns a list of (global_output_time, (B, H, W, 3) sharp frame),
-        empty until the first window fills.  Frames are DEVICE-RESIDENT
-        unpacked fp32 jax arrays (async dispatch — not yet computed when
-        returned); materialize per frame, or buffer and call ``drain()``
-        for one batched fetch.
+        Returns a list of (global_output_time, (B, H, W, 3) sharp frame) of
+        DEVICE-RESIDENT unpacked jax arrays, empty until the first window
+        fills — except in ``buffer_drain`` mode, where push() always
+        returns [] and emissions accumulate on device for ``drain()``
+        (keeps serving at ONE device dispatch per key).
         """
         if key_frames.shape != (self.batch, self.height, self.width, 3):
             raise ValueError(f"expected {(self.batch, self.height, self.width, 3)},"
                              f" got {key_frames.shape}")
-        from bin_tpu.ops.pixel_shuffle import space_to_depth
-        # pack on arrival (cast-then-pack: bf16 transposes are ~10x cheaper);
-        # the window buffer and the pyramid stay in packed domain; frames
-        # unpack only on emission (see models/backbone.py)
-        packed = space_to_depth(
-            jnp.asarray(key_frames).astype(jnp.dtype(self.model.cfg.dtype)),
-            self.model.cfg.stem_factor)
-        self._window.append(packed)
         self._keys_seen += 1
-        if len(self._window) > self.k:
-            self._window.pop(0)
-        if len(self._window) < self.k:
+        if self._keys_seen < self.k:
+            self._stack = self._insert(key_frames, self._stack)
             return []
 
-        window = jnp.stack(self._window, axis=1)
-        outputs, self.states = self._step(self.params, window, self.states)
         first = self._keys_seen == self.k
+        emitted, self._stack, self.states, outputs = self._step_emit(
+            self.params, key_frames, self._stack, self.states, first)
         window_start_t = 2 * (self._keys_seen - self.k)
         self._last_outputs, self._last_start_t = outputs, window_start_t
-        emitted = [(window_start_t + t, outputs[li][:, j])
-                   for li, j, t in self._emit_plan(first)]
+        times = [window_start_t + t for _, _, t in self._plans[first]]
         if self.buffer_drain:
-            self._pending.extend(emitted)
-        return [(t, self.model.unpack(f)) for t, f in emitted]
+            self._pending.append((times, emitted))
+            return []
+        return [(t, self.model.unpack(emitted[i]))
+                for i, t in enumerate(times)]
 
     def flush(self) -> list[tuple[int, jax.Array]]:
         """End of stream: emit the trailing times (local K..2K-3) of the
@@ -154,9 +197,10 @@ class StreamingSession:
                 if t in times_by_level[li]:
                     plan.append((li, times_by_level[li].index(t), t))
                     break
-        emitted = [(self._last_start_t + t, self._last_outputs[li][:, j])
-                   for li, j, t in plan]
-        if self.buffer_drain:
-            self._pending.extend(emitted)
+        times = [self._last_start_t + t for _, _, t in plan]
+        frames = [self._last_outputs[li][:, j] for li, j, _ in plan]
         self._last_outputs = None
-        return [(t, self.model.unpack(f)) for t, f in emitted]
+        if self.buffer_drain:
+            self._pending.append((times, jnp.stack(frames)))
+            return []
+        return [(t, self.model.unpack(f)) for t, f in zip(times, frames)]

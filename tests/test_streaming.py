@@ -104,3 +104,46 @@ def test_drain_equals_direct_materialization():
 
     # without buffer_drain, nothing is retained
     assert s1.drain() == []
+
+
+def test_push_uint8_matches_float():
+    """uint8 push (device-side /255) emits the same frames as float push."""
+    model = build_model(SMALL)
+    params = model.init(jax.random.key(0), batch=1, height=32, width=32)
+    rng = np.random.default_rng(0)
+    frames_u8 = rng.integers(0, 256, (1, 6, 32, 32, 3), dtype=np.uint8)
+    frames_f32 = frames_u8.astype(np.float32) / 255.0
+
+    outs = {}
+    for name, clip in (("u8", frames_u8), ("f32", frames_f32)):
+        sess = StreamingSession(model, params, batch=1, height=32, width=32)
+        got = []
+        for i in range(clip.shape[1]):
+            got += sess.push(clip[:, i])
+        got += sess.flush()
+        outs[name] = {t: np.asarray(f) for t, f in got}
+    assert outs["u8"].keys() == outs["f32"].keys()
+    for t in outs["u8"]:
+        np.testing.assert_allclose(outs["u8"][t], outs["f32"][t],
+                                   atol=1e-6, rtol=0)
+
+
+def test_drain_emit_u8():
+    """emit_u8 drains device-quantized uint8 frames matching the fp32 path."""
+    model = build_model(SMALL)
+    params = model.init(jax.random.key(0), batch=1, height=32, width=32)
+    clip = _clip(1, 6, 32, 32)
+    outs = {}
+    for u8 in (False, True):
+        sess = StreamingSession(model, params, batch=1, height=32, width=32,
+                                buffer_drain=True, emit_u8=u8)
+        for i in range(6):
+            assert sess.push(clip[:, i]) == []  # serving mode returns []
+        sess.flush()
+        outs[u8] = dict(sess.drain())
+    assert outs[True].keys() == outs[False].keys()
+    for t, f_u8 in outs[True].items():
+        assert f_u8.dtype == np.uint8
+        ref = np.round(np.clip(outs[False][t], 0, 1) * 255).astype(np.uint8)
+        # device vs host rounding may differ by 1 on exact-half values
+        assert np.abs(f_u8.astype(int) - ref.astype(int)).max() <= 1
