@@ -126,7 +126,26 @@ def demo_main(argv: list[str] | None = None) -> None:
         if len(paths) < model_cfg.window_size:
             raise SystemExit(f"need >= {model_cfg.window_size} frames, "
                              f"got {len(paths)}")
-        blurry = np.stack([load_frame(f) for f in paths])[None]
+        frames = [load_frame(f) for f in paths]
+        shapes = {f.shape for f in frames}
+        if len(shapes) != 1:
+            raise SystemExit(
+                "input frames have differing sizes: "
+                + ", ".join(f"{os.path.basename(p)}={f.shape[0]}x{f.shape[1]}"
+                            for p, f in zip(paths, frames))
+                + " — resize them to a common resolution first")
+        h, w = frames[0].shape[:2]
+        # every conv scale must see integer dims: stem space-to-depth times
+        # the encoder's 2x downsamples
+        div = model_cfg.stem_factor * 2 ** (len(model_cfg.channel_mult) - 1)
+        if h % div or w % div:
+            raise SystemExit(
+                f"frame size {h}x{w} not divisible by {div} "
+                f"(stem_factor {model_cfg.stem_factor} x "
+                f"{2 ** (len(model_cfg.channel_mult) - 1)} encoder downsample)"
+                f" — crop/resize to multiples of {div}, e.g. "
+                f"{h - h % div}x{w - w % div}")
+        blurry = np.stack(frames)[None]
 
     video, times = jax.jit(model.infer_clip)(params, blurry)
     save_clip_frames(np.asarray(video[0]), times, args.out, "demo")

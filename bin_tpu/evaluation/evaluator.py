@@ -136,8 +136,22 @@ def evaluate_cli(cfg: Config, checkpoint: str = "", num_clips: int | None = None
         params = model.init(jax.random.key(cfg.seed), height=h, width=w)
 
     h, w = cfg.data.eval_size
-    num_clips = num_clips or cfg.data.eval_num_clips
+    num_clips = num_clips if num_clips is not None else cfg.data.eval_num_clips
+    if num_clips <= 0:
+        raise ValueError(f"num_clips must be positive, got {num_clips}")
     num_keys = max(cfg.data.eval_num_keys, cfg.model.window_size + 2)
+    # Self-documenting protocol line (VERDICT r2 weak #5: the headline eval
+    # once ran off-protocol with nothing in the output recording it).
+    from bin_tpu.config import PRESETS
+    off = []
+    if num_clips != cfg.data.eval_num_clips:
+        off.append("num_clips")
+    if cfg.preset in PRESETS and (h, w) != PRESETS[cfg.preset]().data.eval_size:
+        off.append("eval_size")
+    print(f"eval protocol: preset={cfg.preset} size={h}x{w} "
+          f"clips={num_clips} keys={num_keys} seed={cfg.data.eval_seed} "
+          f"dtype={cfg.model.dtype}"
+          + (f" [OFF-PROTOCOL: {','.join(off)}]" if off else ""))
     if cfg.data.dataset == "synthetic" or not cfg.data.root:
         source = SyntheticSource(num_samples=num_clips, num_keys=num_keys,
                                  height=h, width=w, taps=cfg.data.blur_taps,

@@ -197,6 +197,15 @@ def train(cfg: Config, workdir: str = "runs/latest",
             if os.path.exists(path):
                 with open(path, "rb") as f:
                     grain_it.set_state(f.read())
+            else:
+                # Without the saved state the stream restarts at batch 0 and
+                # the exact-replay guarantee is broken — never fail silently.
+                import warnings
+                warnings.warn(
+                    f"resuming from step {start_step} but no loader state at "
+                    f"{path}; the batch stream restarts from the beginning "
+                    "and early batches will be re-trained on "
+                    "(exact replay broken)", stacklevel=2)
 
         produced: dict[int, bytes] = {}
 

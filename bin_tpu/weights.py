@@ -18,9 +18,18 @@ import numpy as np
 
 from bin_tpu.config import Config, ModelConfig
 
-__all__ = ["export_weights", "load_weights"]
+__all__ = ["export_weights", "load_weights", "OPS_VERSION"]
 
 _CARD_KEY = "__model_card__"
+
+# Op-definition version stamped into every exported card. Bump whenever an
+# op's numerics change in a way that re-scores old checkpoints differently:
+#   1  round 1: decoder Upsample = bilinear 2x (zero-SAME conv border)
+#   2  round 2: fused phase-bank upsample-conv with REPLICATE border padding
+#      (models/layers.py Upsample) — old weights still load but border
+#      pixels differ from the round-1 op, so round-1 quality numbers are
+#      not exactly reproducible under v2 semantics (ADVICE r2).
+OPS_VERSION = 2
 
 
 def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
@@ -47,7 +56,8 @@ def _unflatten(flat: dict[str, np.ndarray]) -> dict:
 def export_weights(path: str, params: Any, model_cfg: ModelConfig,
                    metadata: dict | None = None) -> None:
     """Write params + model card to ``path`` (.npz)."""
-    card = {"model": dataclasses.asdict(model_cfg), "metadata": metadata or {}}
+    card = {"model": dataclasses.asdict(model_cfg), "metadata": metadata or {},
+            "ops_version": OPS_VERSION}
     flat = _flatten(params)
     flat[_CARD_KEY] = np.frombuffer(
         json.dumps(card).encode("utf-8"), dtype=np.uint8)
@@ -58,10 +68,19 @@ def load_weights(path: str) -> tuple[dict, ModelConfig, dict]:
     """Read a weights file -> (params, ModelConfig, metadata)."""
     data = np.load(path)
     card = json.loads(bytes(data[_CARD_KEY]).decode("utf-8"))
+    v = card.get("ops_version", 1)
+    if v != OPS_VERSION:
+        print(f"NOTE: weights were exported under ops_version {v}; current "
+              f"ops are version {OPS_VERSION} — border-pixel numerics may "
+              "differ from the scores recorded at export time (see "
+              "bin_tpu/weights.py OPS_VERSION history)")
     flat = {k: data[k] for k in data.files if k != _CARD_KEY}
     mc = card["model"]
-    for key in ("channel_mult", "vgg_layers"):
-        if key in mc and isinstance(mc[key], list):
+    # JSON round-trips tuples as lists; restore every tuple-typed
+    # ModelConfig field (derived from the annotations, not a literal list,
+    # so new tuple fields can't be silently missed).
+    for key, f in ModelConfig.__dataclass_fields__.items():
+        if "tuple" in str(f.type) and key in mc and isinstance(mc[key], list):
             mc[key] = tuple(mc[key])
     model_cfg = ModelConfig(**{k: v for k, v in mc.items()
                                if k in ModelConfig.__dataclass_fields__})
