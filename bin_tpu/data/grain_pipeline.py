@@ -28,11 +28,19 @@ def grain_train_iterator(source, batch_size: int, crop_size: tuple[int, int],
                          num_workers: int = 0, num_epochs: int | None = None,
                          shard_by_process: bool = False,
                          keep_u8: bool = False,
+                         shard_index: int | None = None,
+                         shard_count: int | None = None,
                          ) -> Iterator[dict[str, np.ndarray]]:
     """Grain DataLoader yielding the standard batch dict.
 
     num_workers=0 keeps everything in-process (single-core host default);
     raise it on multi-core production hosts.
+
+    Sharding (multi-host input, SURVEY.md §6.8): ``shard_by_process=True``
+    shards records by JAX process (each host reads a disjoint shard);
+    explicit ``shard_index``/``shard_count`` override it — the same
+    mechanism with the shard picked by the caller (testable in one process,
+    usable from non-JAX launchers).
     """
     import grain.python as gp
 
@@ -56,8 +64,14 @@ def grain_train_iterator(source, batch_size: int, crop_size: tuple[int, int],
             return _random_crop_flip(sample, crop_size, rng, random_flip,
                                      keep_u8=keep_u8)
 
-    sharding = (gp.ShardByJaxProcess(drop_remainder=True)
-                if shard_by_process else gp.NoSharding())
+    if shard_count is not None:
+        sharding = gp.ShardOptions(shard_index=shard_index or 0,
+                                   shard_count=shard_count,
+                                   drop_remainder=True)
+    elif shard_by_process:
+        sharding = gp.ShardByJaxProcess(drop_remainder=True)
+    else:
+        sharding = gp.NoSharding()
     sampler = gp.IndexSampler(
         num_records=len(source),
         shard_options=sharding,

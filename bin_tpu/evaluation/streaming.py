@@ -44,7 +44,7 @@ class StreamingSession:
 
     def __init__(self, model: Model, params: Any, batch: int, height: int,
                  width: int, buffer_drain: bool = False,
-                 emit_u8: bool = False):
+                 emit_u8: bool = False, plan=None):
         """``buffer_drain``: retain emissions on device for batched fetch via
         drain(); push() then returns [] (serving mode — ONE device dispatch
         per key, one stacked fetch per drain).  Off by default: push()
@@ -52,12 +52,25 @@ class StreamingSession:
 
         ``emit_u8``: drain() quantizes to uint8 ON DEVICE before fetching —
         4x less device→host traffic; display/encode sinks consume uint8
-        anyway."""
+        anyway.
+
+        ``plan`` (MeshPlan): shard the session over a device mesh — the
+        batch axis is independent streams, so multi-stream serving scales
+        across chips by sharding it over 'data' (params replicated, window
+        stack + ConvLSTM carries sharded with the streams; XLA keeps every
+        per-stream op local, no collectives in the hot path).  ``batch``
+        must divide evenly over the mesh's data axis."""
         import functools
 
         from bin_tpu.ops.pixel_shuffle import space_to_depth
 
         self.model = model
+        self._plan = plan
+        if plan is not None:
+            if batch % plan.num_data:
+                raise ValueError(f"batch {batch} streams must divide over "
+                                 f"data={plan.num_data} mesh axis")
+            params = jax.device_put(params, plan.replicated())
         self.params = params
         self.k = model.cfg.window_size
         self.batch, self.height, self.width = batch, height, width
@@ -104,6 +117,10 @@ class StreamingSession:
         self.states = self.model.initial_state(self.batch, self.height,
                                                self.width)
         self._stack = jnp.zeros(self._stack_shape, self._stack_dtype)
+        if self._plan is not None:
+            shard = lambda x: jax.device_put(x, self._plan.batch(x.ndim))
+            self.states = jax.tree.map(shard, self.states)
+            self._stack = shard(self._stack)
         self._keys_seen = 0
         self._last_outputs = None
         self._last_start_t = 0
@@ -165,6 +182,11 @@ class StreamingSession:
         if key_frames.shape != (self.batch, self.height, self.width, 3):
             raise ValueError(f"expected {(self.batch, self.height, self.width, 3)},"
                              f" got {key_frames.shape}")
+        if self._plan is not None:
+            # commit the host frame with the stream sharding up front so the
+            # jitted step runs SPMD instead of pulling everything to device 0
+            key_frames = jax.device_put(key_frames,
+                                        self._plan.batch(key_frames.ndim))
         self._keys_seen += 1
         if self._keys_seen < self.k:
             self._stack = self._insert(key_frames, self._stack)
