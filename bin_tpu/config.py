@@ -88,6 +88,10 @@ class DataConfig:
                                    # edges, large motion — the quality
                                    # benchmark) | "smooth" (easy blobs)
     root: str = ""                 # frame-folder tree root (blurry/ + sharp/)
+    train_list: str = ""           # sequence list file restricting train
+                                   # clips (the reference's standard-split
+                                   # mechanism, SURVEY.md §3.2); "" = all
+    eval_list: str = ""            # same for eval clips
     crop_size: tuple[int, int] = (128, 128)   # train crop (H, W)
     eval_size: tuple[int, int] = (352, 640)   # eval resolution (H, W)
     # Pinned eval protocol (fixed clip count/length per preset so quality

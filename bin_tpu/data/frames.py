@@ -22,9 +22,28 @@ from functools import lru_cache
 
 import numpy as np
 
-__all__ = ["FrameFolderSource", "list_clips", "load_frame"]
+__all__ = ["FrameFolderSource", "list_clips", "load_frame", "read_clip_list"]
 
 _EXTS = (".npy", ".png", ".jpg", ".jpeg", ".bmp")
+
+
+def read_clip_list(path: str) -> list[str]:
+    """Read a sequence list file: one clip id per line, '#' comments and
+    blank lines skipped, order preserved.
+
+    The reference indexes its Adobe240/GoPro clips through such train/test
+    list files rather than scanning the folder tree (SURVEY.md §3.2
+    'Adobe240 dataset' [R]) — reproducing the standard split exactly, not
+    just the standard layout."""
+    with open(path) as f:
+        ids = [line.split("#", 1)[0].strip() for line in f]
+    ids = [i for i in ids if i]
+    if not ids:
+        raise ValueError(f"clip list {path} is empty")
+    dupes = {i for i in ids if ids.count(i) > 1}
+    if dupes:
+        raise ValueError(f"clip list {path} has duplicates: {sorted(dupes)}")
+    return ids
 
 
 def list_clips(root: str, split: str) -> dict[str, list[str]]:
@@ -77,13 +96,25 @@ class FrameFolderSource:
     def __init__(self, root: str, num_keys: int | None = 4,
                  chunk_stride: int = 2, cache_frames: bool = False,
                  resize_to: tuple[int, int] | None = None,
-                 raw_u8: bool = False):
+                 raw_u8: bool = False, clip_list: str = ""):
         """``resize_to=(H, W)``: bilinear-resize frames on load — the
         Adobe240 protocol evaluates at 640x352 (half resolution) [P].
         ``raw_u8``: return uint8 frames (train path: the pipeline's fused
-        native crop+normalize consumes them; incompatible with resize_to)."""
+        native crop+normalize consumes them; incompatible with resize_to).
+        ``clip_list``: path to a sequence list file restricting (and
+        ordering) the clips — the standard-split mechanism; every listed
+        clip must exist on disk."""
         self.blurry = list_clips(root, "blurry")
         self.sharp = list_clips(root, "sharp")
+        if clip_list:
+            ids = read_clip_list(clip_list)
+            absent = [i for i in ids if i not in self.blurry]
+            if absent:
+                raise ValueError(
+                    f"clip list {clip_list} names clips missing on disk: "
+                    f"{absent[:5]} (have: {sorted(self.blurry)[:5]}...)")
+            self.blurry = {i: self.blurry[i] for i in ids}
+            self.sharp = {i: self.sharp[i] for i in ids if i in self.sharp}
         self.resize_to = resize_to
         self.raw_u8 = raw_u8
         if raw_u8 and resize_to is not None:

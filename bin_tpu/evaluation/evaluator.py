@@ -163,6 +163,7 @@ def evaluate_cli(cfg: Config, checkpoint: str = "", num_clips: int | None = None
         # honor the dataset's eval protocol (e.g. Adobe240 at 640x352 half
         # resolution [P]); a no-op when frames are already that size
         source = FrameFolderSource(cfg.data.root, num_keys=num_keys,
-                                   resize_to=(h, w))
+                                   resize_to=(h, w),
+                                   clip_list=cfg.data.eval_list)
     return evaluate(model, params, eval_clips(source, batch_size=1),
                     save_dir=save_dir)

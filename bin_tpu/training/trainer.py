@@ -276,4 +276,4 @@ def _make_source(cfg: Config):
     # raw_u8: keep frames uint8 so the pipeline takes the fused native
     # crop+normalize path (training only; eval needs resizable floats)
     return FrameFolderSource(cfg.data.root, num_keys=cfg.data.seq_len,
-                             raw_u8=True)
+                             raw_u8=True, clip_list=cfg.data.train_list)

@@ -84,3 +84,34 @@ def test_raw_u8_source_and_native_crop(tree):
     for k in a:
         assert b[k].dtype == np.float32
         np.testing.assert_allclose(a[k], b[k], atol=1.01 / 255.0)
+
+
+def test_clip_list_restricts_and_orders(tree, tmp_path):
+    """Sequence list files reproduce the standard split: only listed clips,
+    in list order (SURVEY.md §3.2 Adobe240 row [R], VERDICT r2 missing #5)."""
+    _, dst = tree
+    lst = tmp_path / "trainlist.txt"
+    lst.write_text("# standard split\nclipB\n\n")
+    src = FrameFolderSource(str(dst), num_keys=3, clip_list=str(lst))
+    assert set(c for c, _, _ in src.index) == {"clipB"}
+
+    lst2 = tmp_path / "both.txt"
+    lst2.write_text("clipB\nclipA\n")
+    src2 = FrameFolderSource(str(dst), num_keys=None, clip_list=str(lst2))
+    assert [c for c, _, _ in src2.index] == ["clipB", "clipA"]  # list order
+
+
+def test_clip_list_errors(tree, tmp_path):
+    _, dst = tree
+    missing = tmp_path / "bad.txt"
+    missing.write_text("clipA\nnope\n")
+    with pytest.raises(ValueError, match="missing on disk"):
+        FrameFolderSource(str(dst), clip_list=str(missing))
+    dup = tmp_path / "dup.txt"
+    dup.write_text("clipA\nclipA\n")
+    with pytest.raises(ValueError, match="duplicates"):
+        FrameFolderSource(str(dst), clip_list=str(dup))
+    empty = tmp_path / "empty.txt"
+    empty.write_text("# nothing\n")
+    with pytest.raises(ValueError, match="empty"):
+        FrameFolderSource(str(dst), clip_list=str(empty))
