@@ -57,7 +57,8 @@ def _streaming_bench(args, model, params, blurry):
     # session normalize on device (4x less tunnel traffic per key)
     blurry = (blurry * 255.0 + 0.5).astype(np.uint8)
     sess = StreamingSession(model, params, batch=b, height=h, width=w,
-                            buffer_drain=True, emit_u8=True)
+                            buffer_drain=not args.async_drain, emit_u8=True,
+                            async_drain=args.async_drain)
     t0 = time.monotonic()
     for i in range(k):  # warmup pass: fills window, compiles the step
         sess.push(blurry[:, i])
@@ -66,14 +67,21 @@ def _streaming_bench(args, model, params, blurry):
 
     sess.reset()
     frames_out = 0
+    delivered_at: list[float] = []  # wall time when each emission LANDED
     t0 = time.monotonic()
     reps = max(2, args.iters)
     for r in range(reps):
         for i in range(k):
             sess.push(blurry[:, i])
             keys_done = r * k + i + 1
-            if keys_done % args.drain_every == 0:
-                frames_out += sum(f.shape[0] for _, f in sess.drain())
+            if args.async_drain:
+                got = sess.poll()  # non-blocking: whatever already landed
+                frames_out += sum(f.shape[0] for _, f in got)
+                delivered_at += [time.monotonic() - t0] * len(got)
+            elif keys_done % args.drain_every == 0:
+                got = sess.drain()
+                frames_out += sum(f.shape[0] for _, f in got)
+                delivered_at += [time.monotonic() - t0] * len(got)
     frames_out += sum(f.shape[0] for _, f in sess.drain())
     dt = time.monotonic() - t0
     fps = frames_out / dt
@@ -84,7 +92,12 @@ def _streaming_bench(args, model, params, blurry):
         "unit": "frames/s",
         "vs_baseline": None,
         "detail": {"batch_streams": b, "per_key_latency_ms": round(per_key_ms, 1),
-                   "drain_every": args.drain_every, "input_dtype": "uint8",
+                   "drain_every": args.drain_every,
+                   "async_drain": bool(args.async_drain),
+                   # emissions that landed DURING the run (vs the final
+                   # blocking drain) — per-key delivery means this ≈ all
+                   "frames_landed_during_run": len(delivered_at),
+                   "input_dtype": "uint8",
                    "shape": [b, h, w], "dtype": args.dtype},
     }
     print(json.dumps(record), flush=True)
@@ -113,6 +126,10 @@ def main(argv=None):
     p.add_argument("--drain-every", type=int, default=8,
                    help="streaming mode: fetch buffered emissions every N "
                         "keys (1 = per-key fetch, the round-1 behavior)")
+    p.add_argument("--async-drain", action="store_true",
+                   help="streaming mode: background fetch thread overlaps "
+                        "device->host transfer with the next key's compute "
+                        "(per-key delivery at amortized cost)")
     args = p.parse_args(argv)
 
     import jax

@@ -44,7 +44,8 @@ class StreamingSession:
 
     def __init__(self, model: Model, params: Any, batch: int, height: int,
                  width: int, buffer_drain: bool = False,
-                 emit_u8: bool = False, plan=None):
+                 emit_u8: bool = False, plan=None,
+                 async_drain: bool = False):
         """``buffer_drain``: retain emissions on device for batched fetch via
         drain(); push() then returns [] (serving mode — ONE device dispatch
         per key, one stacked fetch per drain).  Off by default: push()
@@ -59,7 +60,16 @@ class StreamingSession:
         across chips by sharding it over 'data' (params replicated, window
         stack + ConvLSTM carries sharded with the streams; XLA keeps every
         per-stream op local, no collectives in the hot path).  ``batch``
-        must divide evenly over the mesh's data axis."""
+        must divide evenly over the mesh's data axis.
+
+        ``async_drain``: per-KEY delivery without paying the fetch round
+        trip on the critical path (VERDICT r2 item 8).  The emissions are
+        FINALIZED (unpacked + optionally uint8-quantized) inside the same
+        single jitted step, then handed to a background fetch thread whose
+        only job is ``jax.device_get`` — so the next key's dispatch
+        overlaps the previous key's device→host transfer.  Consume with
+        ``poll()`` (non-blocking, frames ready so far) and a final
+        ``drain()`` (blocks for in-flight).  push() returns []."""
         import functools
 
         from bin_tpu.ops.pixel_shuffle import space_to_depth
@@ -76,6 +86,7 @@ class StreamingSession:
         self.batch, self.height, self.width = batch, height, width
         self.buffer_drain = buffer_drain
         self.emit_u8 = emit_u8
+        self.async_drain = async_drain
         self._plans = {first: self._emit_plan(first) for first in (True, False)}
 
         f = model.cfg.stem_factor
@@ -97,6 +108,15 @@ class StreamingSession:
         # eager op is a ~0.5 s round trip, so dispatch count per key, not
         # device FLOPs, dominated the round-1/-2 serving latency
         # (docs/DESIGN.md §4c).
+        def _finalize(emitted: jax.Array) -> jax.Array:
+            """Packed stacked emissions → delivery format (fp32 or u8)."""
+            out = model.unpack(emitted)
+            if self.emit_u8:
+                out = jnp.round(
+                    jnp.clip(out.astype(jnp.float32), 0.0, 1.0) * 255.0
+                ).astype(jnp.uint8)
+            return out
+
         @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(2, 3))
         def _step_emit(params, frame, stack, states, first: bool):
             stack = jnp.concatenate([stack[:, 1:], ingest(frame)[:, None]], 1)
@@ -104,12 +124,38 @@ class StreamingSession:
                                                      producer_clamp=True)
             emitted = jnp.stack(
                 [outputs[li][:, j] for li, j, _ in self._plans[first]])
+            if async_drain:
+                # finalize in-step: the fetch thread then needs zero extra
+                # dispatches, keeping serving at ONE dispatch per key
+                emitted = _finalize(emitted)
             return emitted, stack, new_states, outputs
 
         self._insert = _insert
         self._step_emit = _step_emit
+        self._finalize_jit = jax.jit(_finalize)
         self._stack_shape = (batch, self.k, height // f, width // f, 3 * f * f)
         self._stack_dtype = dt
+
+        if async_drain:
+            import queue
+            import threading
+            self._fetch_q: queue.Queue = queue.Queue(maxsize=8)
+            self._ready: list[tuple[int, np.ndarray]] = []
+            self._ready_lock = threading.Lock()
+
+            def _fetch_loop():
+                while True:
+                    times, dev = self._fetch_q.get()
+                    try:
+                        host = np.asarray(jax.device_get(dev))  # (E, B, H, W, 3)
+                        with self._ready_lock:
+                            self._ready.extend(zip(times, host))
+                    finally:
+                        self._fetch_q.task_done()
+
+            self._fetcher = threading.Thread(target=_fetch_loop, daemon=True,
+                                             name="bin-tpu-stream-fetch")
+            self._fetcher.start()
         self.reset()
 
     def reset(self) -> None:
@@ -126,11 +172,31 @@ class StreamingSession:
         self._last_start_t = 0
         # pending emissions: (times, (E, B, h, w, C) packed device array)
         self._pending: list[tuple[list[int], jax.Array]] = []
+        if self.async_drain:
+            self._fetch_q.join()  # let in-flight fetches land, then discard
+            with self._ready_lock:
+                self._ready.clear()
+
+    def poll(self) -> list[tuple[int, np.ndarray]]:
+        """Async mode: frames whose device→host transfer has completed —
+        non-blocking, in time order.  Empty in other modes (use drain)."""
+        if not self.async_drain:
+            return []
+        with self._ready_lock:
+            out, self._ready = self._ready, []
+        return sorted(out, key=lambda tf: tf[0])
 
     def drain(self) -> list[tuple[int, np.ndarray]]:
-        """Fetch every pending emission in ONE stacked device→host transfer
-        and return (time, (B, H, W, 3) numpy) pairs in time order — fp32 in
-        [0, 1], or uint8 with ``emit_u8`` (quantized on device)."""
+        """Fetch every pending emission and return (time, (B, H, W, 3)
+        numpy) pairs in time order — fp32 in [0, 1], or uint8 with
+        ``emit_u8`` (quantized on device).
+
+        buffer mode: ONE stacked device→host transfer of everything
+        pending.  async mode: block until the background fetches land,
+        then hand over whatever poll() hasn't returned yet."""
+        if self.async_drain:
+            self._fetch_q.join()
+            return self.poll()
         if not self._pending:
             return []
         times = [t for ts, _ in self._pending for t in ts]
@@ -198,6 +264,9 @@ class StreamingSession:
         window_start_t = 2 * (self._keys_seen - self.k)
         self._last_outputs, self._last_start_t = outputs, window_start_t
         times = [window_start_t + t for _, _, t in self._plans[first]]
+        if self.async_drain:
+            self._fetch_q.put((times, emitted))  # already finalized in-step
+            return []
         if self.buffer_drain:
             self._pending.append((times, emitted))
             return []
@@ -222,6 +291,10 @@ class StreamingSession:
         times = [self._last_start_t + t for _, _, t in plan]
         frames = [self._last_outputs[li][:, j] for li, j, _ in plan]
         self._last_outputs = None
+        if self.async_drain:
+            # once per stream end: finalize + enqueue for background fetch
+            self._fetch_q.put((times, self._finalize_jit(jnp.stack(frames))))
+            return []
         if self.buffer_drain:
             self._pending.append((times, jnp.stack(frames)))
             return []

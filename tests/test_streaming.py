@@ -147,3 +147,47 @@ def test_drain_emit_u8():
         ref = np.round(np.clip(outs[False][t], 0, 1) * 255).astype(np.uint8)
         # device vs host rounding may differ by 1 on exact-half values
         assert np.abs(f_u8.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_async_drain_equals_buffered(devices):
+    """async_drain (in-step finalize + background fetch thread) must deliver
+    exactly the frames the buffered drain path delivers — poll() over the
+    stream plus final drain() covers every emission once, u8 and fp32."""
+    model = build_model(SMALL)
+    params = model.init(jax.random.key(0), batch=2, height=32, width=32)
+    clip = _clip(2, 8, 32, 32, seed=11)
+
+    for u8 in (False, True):
+        s_buf = StreamingSession(model, params, batch=2, height=32, width=32,
+                                 buffer_drain=True, emit_u8=u8)
+        for i in range(8):
+            s_buf.push(clip[:, i])
+        s_buf.flush()
+        want = dict(s_buf.drain())
+
+        s_async = StreamingSession(model, params, batch=2, height=32,
+                                   width=32, emit_u8=u8, async_drain=True)
+        got = {}
+        for i in range(8):
+            s_async.push(clip[:, i])
+            for t, f in s_async.poll():
+                assert t not in got
+                got[t] = f
+        s_async.flush()
+        for t, f in s_async.drain():
+            assert t not in got
+            got[t] = f
+        assert sorted(got) == sorted(want)
+        for t in want:
+            assert got[t].dtype == want[t].dtype
+            if u8:
+                # in-step finalize computes round(clip(x)*255) in one fused
+                # program; allow 1 ulp of quantization disagreement
+                assert np.max(np.abs(got[t].astype(np.int16)
+                                     - want[t].astype(np.int16))) <= 1
+            else:
+                np.testing.assert_allclose(got[t], want[t], atol=1e-6)
+
+        # reset clears in-flight + ready state
+        s_async.reset()
+        assert s_async.poll() == [] and s_async.drain() == []
