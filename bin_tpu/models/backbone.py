@@ -44,6 +44,7 @@ class Backbone(nn.Module):
     stem_factor: int = 1
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    fused_upsample: bool = True
 
     @nn.compact
     def __call__(self, frame_a: jax.Array, frame_b: jax.Array,
@@ -86,7 +87,8 @@ class Backbone(nn.Module):
 
         for i, ch in reversed(list(enumerate(chans[:-1]))):
             x = Upsample(ch, self.slope, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name=f"up_{i}")(x)
+                         param_dtype=self.param_dtype,
+                         fused=self.fused_upsample, name=f"up_{i}")(x)
             x = x + skips[i]
             x = ResBlock(ch, self.slope, dtype=self.dtype,
                          param_dtype=self.param_dtype, name=f"dec_{i}")(x)

@@ -82,7 +82,8 @@ class BINPyramid(nn.Module):
             Backbone(base_features=c.base_features, channel_mult=c.channel_mult,
                      num_res_blocks=c.num_res_blocks, slope=c.lrelu_slope,
                      stem_factor=c.stem_factor, dtype=dtype,
-                     param_dtype=pdtype, name=f"level_{l}")
+                     param_dtype=pdtype, fused_upsample=c.fused_upsample,
+                     name=f"level_{l}")
             for l in range(1, n + 1)
         ]
         if c.use_convlstm:
