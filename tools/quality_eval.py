@@ -57,7 +57,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--preset", default="config3_prf")
-    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--size", type=int, nargs="+", default=[256],
+                    help="eval resolution: SIZE (square) or H W — e.g. "
+                         "'--size 352 640' for the Adobe240 half-res protocol")
     ap.add_argument("--keys", type=int, default=12)
     ap.add_argument("--clips", type=int, default=16)
     ap.add_argument("--style", default=None,
@@ -69,8 +71,12 @@ def main():
     model = build_model(cfg)
     params = restore_params(args.checkpoint)
 
+    h = args.size[0]
+    w = args.size[1] if len(args.size) > 1 else args.size[0]
+    print(f"eval protocol: size={h}x{w} clips={args.clips} keys={args.keys} "
+          f"seed={cfg.data.eval_seed} dtype={cfg.model.dtype}")
     source = SyntheticSource(num_samples=args.clips, num_keys=args.keys,
-                             height=args.size, width=args.size,
+                             height=h, width=w,
                              seed=cfg.data.eval_seed,
                              style=args.style or cfg.data.synthetic_style)
 
