@@ -34,7 +34,7 @@ echo "== short 720p train on the prepped tree =="
 python train.py --preset config4_gopro_720p \
   --set data.root="$PREPPED" \
   --set model.dtype=bfloat16 --set model.remat=true \
-  --set optim.learning_rate=2e-4 \
+  --set optim.learning_rate=1e-4 \
   --steps "$STEPS" --workdir "$WORKDIR"
 
 echo "== 640x352 eval (Adobe240 half-resolution resize protocol) =="
