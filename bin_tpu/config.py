@@ -42,6 +42,11 @@ class ModelConfig:
     lrelu_slope: float = 0.1
     convlstm_features: int = 256   # hidden channels of the inter-pyramid ConvLSTM
     use_convlstm: bool = True      # PRF recurrence on/off (off = plain BIN)
+    conv_int8: bool = False        # PTQ int8 convs for inference (dynamic
+                                   # per-tensor activations, per-channel
+                                   # weights, int32 accum — ops/quant.py);
+                                   # checkpoint-compatible A/B flag.
+                                   # Feasibility gate: tools/bench_int8_conv.py
     fused_upsample: bool = True    # decoder upsample-conv as one phase-bank
                                    # conv (ops/fused_upsample.py); False =
                                    # unfused upsample-then-conv (identical

@@ -45,6 +45,9 @@ class Backbone(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     fused_upsample: bool = True
+    conv_int8: bool = False        # PTQ int8 convs (inference experiment;
+                                   # tail + context_proj stay float — see
+                                   # ops/quant.py)
 
     @nn.compact
     def __call__(self, frame_a: jax.Array, frame_b: jax.Array,
@@ -65,15 +68,17 @@ class Backbone(nn.Module):
         chans = [self.base_features * m for m in self.channel_mult]
         x = jnp.concatenate([frame_a, frame_b], axis=-1).astype(self.dtype)
 
+        q = self.conv_int8
         x = ConvBlock(chans[0], self.slope, dtype=self.dtype,
-                      param_dtype=self.param_dtype, name="head")(x)
+                      param_dtype=self.param_dtype, quant=q, name="head")(x)
         skips = []
         for i, ch in enumerate(chans[:-1]):
-            x = ResBlock(ch, self.slope, dtype=self.dtype,
+            x = ResBlock(ch, self.slope, dtype=self.dtype, quant=q,
                          param_dtype=self.param_dtype, name=f"enc_{i}")(x)
             skips.append(x)
             x = Downsample(chans[i + 1], self.slope, dtype=self.dtype,
-                           param_dtype=self.param_dtype, name=f"down_{i}")(x)
+                           param_dtype=self.param_dtype, quant=q,
+                           name=f"down_{i}")(x)
 
         if context is not None:
             x = x + conv1x1(chans[-1], dtype=self.dtype,
@@ -81,7 +86,7 @@ class Backbone(nn.Module):
                             name="context_proj")(context.astype(self.dtype))
 
         for i in range(self.num_res_blocks):
-            x = ResBlock(chans[-1], self.slope, dtype=self.dtype,
+            x = ResBlock(chans[-1], self.slope, dtype=self.dtype, quant=q,
                          param_dtype=self.param_dtype, name=f"mid_{i}")(x)
         feats = x  # bottleneck features (ConvLSTM input, PRF)
 
@@ -90,7 +95,7 @@ class Backbone(nn.Module):
                          param_dtype=self.param_dtype,
                          fused=self.fused_upsample, name=f"up_{i}")(x)
             x = x + skips[i]
-            x = ResBlock(ch, self.slope, dtype=self.dtype,
+            x = ResBlock(ch, self.slope, dtype=self.dtype, quant=q,
                          param_dtype=self.param_dtype, name=f"dec_{i}")(x)
 
         # Zero-init tail: at init every level predicts exactly the average of

@@ -31,6 +31,24 @@ def conv1x1(features: int, *, dtype: Any = jnp.float32,
                    dtype=dtype, param_dtype=param_dtype, name=name)
 
 
+def _conv3x3_maybe_quant(x, features, *, strides=1, dtype, param_dtype,
+                         quant, name):
+    """conv3x3 as nn.Conv (default) or as the int8 PTQ conv (ops/quant.py).
+
+    Plain function, NOT a module: both branches create a child of the
+    CALLER's scope named ``name`` holding {kernel, bias}, so the param tree
+    is byte-identical either way and model.conv_int8 is a pure inference
+    A/B flag over existing checkpoints."""
+    if not quant:
+        return conv3x3(features, strides=strides, dtype=dtype,
+                       param_dtype=param_dtype, name=name)(x)
+    from bin_tpu.ops.quant import int8_conv
+    kernel, bias = _ConvParams((3, 3, x.shape[-1], features),
+                               param_dtype, name=name)()
+    return int8_conv(x, kernel, bias,
+                     strides=(strides, strides)).astype(dtype)
+
+
 class ConvBlock(nn.Module):
     """conv3x3 + LeakyReLU."""
 
@@ -39,11 +57,14 @@ class ConvBlock(nn.Module):
     strides: int = 1
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = conv3x3(self.features, strides=self.strides, dtype=self.dtype,
-                    param_dtype=self.param_dtype)(x)
+        x = _conv3x3_maybe_quant(x, self.features, strides=self.strides,
+                                 dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 quant=self.quant, name="Conv_0")
         return nn.leaky_relu(x, self.slope)
 
 
@@ -55,12 +76,17 @@ class ResBlock(nn.Module):
     slope: float = 0.1
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        h = conv3x3(self.features, dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        h = _conv3x3_maybe_quant(x, self.features, dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 quant=self.quant, name="Conv_0")
         h = nn.leaky_relu(h, self.slope)
-        h = conv3x3(self.features, dtype=self.dtype, param_dtype=self.param_dtype)(h)
+        h = _conv3x3_maybe_quant(h, self.features, dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 quant=self.quant, name="Conv_1")
         return x + h
 
 
@@ -71,11 +97,14 @@ class Downsample(nn.Module):
     slope: float = 0.1
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = conv3x3(self.features, strides=2, dtype=self.dtype,
-                    param_dtype=self.param_dtype)(x)
+        x = _conv3x3_maybe_quant(x, self.features, strides=2,
+                                 dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 quant=self.quant, name="Conv_0")
         return nn.leaky_relu(x, self.slope)
 
 

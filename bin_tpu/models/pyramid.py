@@ -83,7 +83,7 @@ class BINPyramid(nn.Module):
                      num_res_blocks=c.num_res_blocks, slope=c.lrelu_slope,
                      stem_factor=c.stem_factor, dtype=dtype,
                      param_dtype=pdtype, fused_upsample=c.fused_upsample,
-                     name=f"level_{l}")
+                     conv_int8=c.conv_int8, name=f"level_{l}")
             for l in range(1, n + 1)
         ]
         if c.use_convlstm:

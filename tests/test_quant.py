@@ -1,0 +1,69 @@
+"""int8 PTQ conv path (ops/quant.py + model.conv_int8)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bin_tpu.config import get_config
+from bin_tpu.ops.quant import int8_conv, quantize_symmetric
+from bin_tpu.registry import build_model
+
+
+def test_quantize_symmetric_roundtrip():
+    x = np.random.default_rng(0).normal(0, 1, (4, 8, 8, 16)).astype(np.float32)
+    q, s = quantize_symmetric(jnp.asarray(x))
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(s) - x)
+    assert err.max() <= float(np.abs(x).max()) / 127.0 + 1e-6
+    qc, sc = quantize_symmetric(jnp.asarray(x), axis=(0, 1, 2))
+    assert sc.shape == (1, 1, 1, 16)
+
+
+def test_int8_conv_close_to_float():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 16, 16, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 0.1, (3, 3, 8, 12)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.01, (12,)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    got = int8_conv(x, k, b)
+    rel = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 0.03, rel  # ~1% expected from 8-bit weights+activations
+
+
+def _models():
+    cfg_f = get_config("config3_prf", [
+        "model.base_features=8", "model.num_res_blocks=1",
+        "model.convlstm_features=16"])
+    cfg_q = dataclasses.replace(
+        cfg_f, model=dataclasses.replace(cfg_f.model, conv_int8=True))
+    return build_model(cfg_f), build_model(cfg_q)
+
+
+def test_param_tree_identical_and_checkpoint_compatible():
+    """conv_int8 must not change the param tree: the flag is a pure
+    inference A/B over existing checkpoints."""
+    mf, mq = _models()
+    pf = mf.init(jax.random.key(0), height=32, width=32)
+    pq = mq.init(jax.random.key(0), height=32, width=32)
+    assert (jax.tree_util.tree_structure(pf)
+            == jax.tree_util.tree_structure(pq))
+    for a, b in zip(jax.tree.leaves(pf), jax.tree.leaves(pq)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_quantized_forward_close_to_float():
+    mf, mq = _models()
+    params = mf.init(jax.random.key(0), height=32, width=32)
+    blurry = np.random.default_rng(2).uniform(
+        0, 1, (1, 6, 32, 32, 3)).astype(np.float32)
+    vf, _ = jax.jit(mf.infer_clip)(params, blurry)
+    vq, _ = jax.jit(mq.infer_clip)(params, blurry)
+    # zero-init tails make outputs ~= pair averages; PTQ noise rides on the
+    # small learned residual, so outputs must stay visually identical
+    err = float(jnp.max(jnp.abs(vf - vq)))
+    assert err < 0.05, err
+    psnr_delta = -10 * np.log10(float(jnp.mean((vf - vq) ** 2)) + 1e-12)
+    assert psnr_delta > 35.0, psnr_delta  # int8-vs-float "PSNR" of outputs
