@@ -8,8 +8,12 @@ export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_c
 LOG=runs/round3_queue.log
 echo "=== queue start $(date -u)" >> "$LOG"
 
+# save_interval 5000: checkpoints are GB-scale device->host fetches through
+# the tunnel; every-1000-steps saving wedged the stem-4 run (see DESIGN.md
+# round-3 notes) and costs minutes even when it works.
 COMMON_TRAIN="--set data.loader=grain --set model.remat=true \
-  --set model.dtype=bfloat16"
+  --set model.dtype=bfloat16 --set checkpoint.save_interval_steps=5000 \
+  --set checkpoint.keep_last_n=2"
 
 run_one() {  # name steps extra_overrides...
   local name="$1"; shift
