@@ -1,0 +1,43 @@
+#!/bin/bash
+# Round-3 perf session (phase 3, after the training queue): per-op trace
+# attribution, fused-upsample compile/runtime A/B, int8 PTQ measurements
+# (VERDICT r2 items 3 & 9 + weak #3).
+set -u
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}"
+LOG=runs/round3_perf.log
+echo "=== perf start $(date -u)" >> "$LOG"
+
+step() { echo "--- $1 rc=$2 $(date -u)" >> "$LOG"; }
+
+# 1. per-op attribution at both architectures (the non-conv 28% breakdown)
+[ -s runs/trace_r3_stem4.txt ] || { timeout 3600 python tools/attribute_trace.py \
+  --stem 4 --base 256 --top 40 > runs/trace_r3_stem4.txt 2>&1; step trace_stem4 $?; }
+[ -s runs/trace_r3_stem2.txt ] || { timeout 3600 python tools/attribute_trace.py \
+  --stem 2 --base 128 --top 40 > runs/trace_r3_stem2.txt 2>&1; step trace_stem2 $?; }
+
+# 2. int8 conv primitive at the two dominant conv shapes
+[ -s runs/int8_conv_256.json ] || { timeout 2400 python tools/bench_int8_conv.py \
+  --height 180 --width 320 --cin 256 --cout 256 \
+  > runs/int8_conv_256.json 2> runs/int8_conv_256.log; step int8_256 $?; }
+[ -s runs/int8_conv_1024.json ] || { timeout 2400 python tools/bench_int8_conv.py \
+  --height 45 --width 80 --cin 1024 --cout 1024 \
+  > runs/int8_conv_1024.json 2> runs/int8_conv_1024.log; step int8_1024 $?; }
+
+# 3. bench A/Bs on the flagship shape: baseline, unfused upsample
+#    (compile-time + fps), int8 PTQ convs. bench.py logs compile+first-run.
+[ -s runs/bench_r3_base.json ] || { timeout 3600 python bench.py \
+  > runs/bench_r3_base.json 2> runs/bench_r3_base.log; step bench_base $?; }
+[ -s runs/bench_r3_unfused.json ] || { timeout 3600 python bench.py \
+  --set model.fused_upsample=false \
+  > runs/bench_r3_unfused.json 2> runs/bench_r3_unfused.log; step bench_unfused $?; }
+[ -s runs/bench_r3_int8.json ] || { timeout 3600 python bench.py \
+  --set model.conv_int8=true \
+  > runs/bench_r3_int8.json 2> runs/bench_r3_int8.log; step bench_int8 $?; }
+
+# 4. stem-2 (config3 architecture) bench for the re-baseline decision
+[ -s runs/bench_r3_stem2.json ] || { timeout 3600 python bench.py \
+  --stem 2 --base 128 \
+  > runs/bench_r3_stem2.json 2> runs/bench_r3_stem2.log; step bench_stem2 $?; }
+
+echo "=== perf end $(date -u)" >> "$LOG"
