@@ -24,8 +24,10 @@ step() { echo "--- $1 rc=$2 $(date -u)" >> "$LOG"; }
   --height 45 --width 80 --cin 1024 --cout 1024 \
   > runs/int8_conv_1024.json 2> runs/int8_conv_1024.log; step int8_1024 $?; }
 
-# 3. bench A/Bs on the flagship shape: baseline, unfused upsample
-#    (compile-time + fps), int8 PTQ convs. bench.py logs compile+first-run.
+# 3. bench A/Bs on the flagship-of-record (stem 2 / base 128, the
+#    quality-holding architecture — round-3 re-baseline): baseline,
+#    unfused upsample (compile-time + fps), int8 PTQ convs.
+#    bench.py logs compile+first-run to stderr.
 [ -s runs/bench_r3_base.json ] || { timeout 3600 python bench.py \
   > runs/bench_r3_base.json 2> runs/bench_r3_base.log; step bench_base $?; }
 [ -s runs/bench_r3_unfused.json ] || { timeout 3600 python bench.py \
@@ -35,9 +37,9 @@ step() { echo "--- $1 rc=$2 $(date -u)" >> "$LOG"; }
   --set model.conv_int8=true \
   > runs/bench_r3_int8.json 2> runs/bench_r3_int8.log; step bench_int8 $?; }
 
-# 4. stem-2 (config3 architecture) bench for the re-baseline decision
-[ -s runs/bench_r3_stem2.json ] || { timeout 3600 python bench.py \
-  --stem 2 --base 128 \
-  > runs/bench_r3_stem2.json 2> runs/bench_r3_stem2.log; step bench_stem2 $?; }
+# 4. the stem-4 throughput variant, for the record alongside
+[ -s runs/bench_r3_stem4.json ] || { timeout 3600 python bench.py \
+  --stem 4 --base 256 \
+  > runs/bench_r3_stem4.json 2> runs/bench_r3_stem4.log; step bench_stem4 $?; }
 
 echo "=== perf end $(date -u)" >> "$LOG"
