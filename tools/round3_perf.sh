@@ -37,6 +37,14 @@ step() { echo "--- $1 rc=$2 $(date -u)" >> "$LOG"; }
   --set model.conv_int8=true \
   > runs/bench_r3_int8.json 2> runs/bench_r3_int8.log; step bench_int8 $?; }
 
+# 3b. PTQ quality delta: the r2 stem-2 checkpoint evaluated with int8
+#     convs under the pinned 256^2 protocol (pairs with bench_r3_int8)
+[ -s runs/prf_textured/quality_int8.txt ] || { timeout 3600 python \
+  tools/quality_eval.py --checkpoint runs/prf_textured/checkpoints \
+  --preset config3_prf --set model.dtype=bfloat16 \
+  --set model.conv_int8=true \
+  > runs/prf_textured/quality_int8.txt 2>&1; step quality_int8 $?; }
+
 # 4. the stem-4 throughput variant, for the record alongside
 [ -s runs/bench_r3_stem4.json ] || { timeout 3600 python bench.py \
   --stem 4 --base 256 \
