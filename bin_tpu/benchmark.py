@@ -146,7 +146,9 @@ def main(argv=None):
     from bin_tpu.config import get_config, apply_overrides
     from bin_tpu.models import recurrent
     from bin_tpu.registry import build_model
+    from bin_tpu.utils.compile_cache import enable_persistent_cache
 
+    enable_persistent_cache()
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 

@@ -126,7 +126,9 @@ def evaluate_cli(cfg: Config, checkpoint: str = "", num_clips: int | None = None
     numbers are comparable across rounds for the same preset."""
     from bin_tpu.data.pipeline import SyntheticSource, eval_clips
     from bin_tpu.training.checkpoint import restore_params
+    from bin_tpu.utils.compile_cache import enable_persistent_cache
 
+    enable_persistent_cache()
     model = build_model(cfg)
     if checkpoint:
         params = restore_params(checkpoint)

@@ -152,6 +152,9 @@ def train(cfg: Config, workdir: str = "runs/latest",
     from bin_tpu.data.pipeline import SyntheticSource, train_iterator
     from bin_tpu.training import checkpoint as ckpt
 
+    from bin_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     num_steps = num_steps or cfg.optim.num_steps
     if cfg.log.debug_nans:
         jax.config.update("jax_debug_nans", True)
