@@ -162,6 +162,14 @@ def report(compiled_text, durs, top=30, json_out=None):
     for c, us in sorted(cats.items(), key=lambda kv: -kv[1]):
         print(f"  {c:16s} {us/1e3:8.2f} ms {100*us/total_us:5.1f}%")
 
+    # The named list VERDICT r2 item 3 asks for: where the non-conv time is
+    nonconv = sorted((r for r in rows if not r[2]), reverse=True)
+    print("\ntop non-conv ops (the recoverable slice):")
+    for us, name, _fl, nbytes, desc in nonconv[:8]:
+        gbs = nbytes / (us * 1e-6) / 1e9 if us else 0
+        print(f"  {name[:30]:30s} {us/1e3:7.2f} ms {100*us/total_us:4.1f}% "
+              f"{gbs:8.1f} GB/s  {desc[:60]}")
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -178,7 +186,9 @@ def main():
     import jax.numpy as jnp
     from bin_tpu.config import ModelConfig
     from bin_tpu.registry import build_model
+    from bin_tpu.utils.compile_cache import enable_persistent_cache
 
+    enable_persistent_cache()
     cfg = ModelConfig(name="prf", base_features=args.base,
                       stem_factor=args.stem, dtype="bfloat16")
     model = build_model(cfg)
