@@ -26,31 +26,27 @@ def main():
     run_dirs = sys.argv[1:]
     if not run_dirs:
         run_dirs = sorted(d for d in glob.glob("runs/*") if os.path.isdir(d))
-    rows, baseline = [], None
+    rows = []
     for d in run_dirs:
         for qf in sorted(glob.glob(os.path.join(d, "quality_*.txt"))):
             got = read_quality(qf)
             if not got or not got[0]:
                 continue
-            model, base = got
             tag = f"{os.path.basename(d)}:{os.path.basename(qf)[8:-4]}"
-            rows.append((tag, model))
-            baseline = baseline or base
+            rows.append((tag, got[0], got[1]))
     if not rows:
         print("no quality_*.txt results found", file=sys.stderr)
         return
     cols = ["psnr_deblur", "psnr_interp", "psnr_overall", "ssim_overall"]
-    print("| run | " + " | ".join(c.replace("_", " ") for c in cols) + " |")
+    print("| run | " + " | ".join(c.replace("_", " ") for c in cols)
+          + " | (PSNR deltas vs each eval's own no-learning baseline)")
     print("|---|" + "---|" * len(cols))
-    if baseline:
-        print("| no-learning baseline | "
-              + " | ".join(f"{baseline[c]:.4g}" for c in cols) + " |")
-    for tag, m in rows:
+    for tag, m, base in rows:
         cells = []
         for c in cols:
             v = m.get(c)
-            delta = (f" ({v - baseline[c]:+.2f})"
-                     if baseline and c.startswith("psnr") else "")
+            delta = (f" ({v - base[c]:+.2f})"
+                     if base and c.startswith("psnr") else "")
             cells.append(f"{v:.4g}{delta}" if v is not None else "—")
         print(f"| {tag} | " + " | ".join(cells) + " |")
 
