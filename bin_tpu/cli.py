@@ -50,9 +50,11 @@ def eval_main(argv: list[str] | None = None) -> None:
                             help="eval clips (default: the preset's pinned "
                                  "eval protocol, data.eval_num_clips)"),
         "--save-dir": dict(default="", help="write output frames as PNGs here"),
+        "--ema": dict(action="store_true",
+                      help="evaluate the EMA params (optim.ema_decay runs)"),
     })
     evaluate_cli(cfg, checkpoint=args.checkpoint, num_clips=args.num_clips,
-                 save_dir=args.save_dir)
+                 save_dir=args.save_dir, ema=args.ema)
 
 
 def bench_main(argv: list[str] | None = None) -> None:
@@ -76,10 +78,13 @@ def export_main(argv: list[str] | None = None) -> None:
         "--checkpoint": dict(required=True, help="checkpoint directory"),
         "--out": dict(required=True, help="output .npz weights file"),
         "--note": dict(default="", help="free-form metadata note"),
+        "--ema": dict(action="store_true",
+                      help="export the EMA params (optim.ema_decay runs)"),
     })
-    params = restore_params(args.checkpoint)
+    params = restore_params(args.checkpoint, ema=args.ema)
     export_weights(args.out, params, cfg.model,
-                   metadata={"preset": cfg.preset, "note": args.note})
+                   metadata={"preset": cfg.preset, "note": args.note,
+                             **({"ema": True} if args.ema else {})})
     print(f"wrote {args.out}")
 
 

@@ -148,6 +148,9 @@ class OptimConfig:
     skip_nonfinite: bool = True    # optax.apply_if_finite: skip steps whose
                                    # gradients contain NaN/Inf instead of
                                    # poisoning the parameters
+    ema_decay: float = 0.0         # >0 tracks an EMA of the params in the
+                                   # train state (eval/export via --ema);
+                                   # 0 disables (reference recipe has none)
     num_steps: int = 200_000
 
 

@@ -120,7 +120,7 @@ def evaluate(model: Model, params: Any, clips: Iterable[dict[str, np.ndarray]],
 
 
 def evaluate_cli(cfg: Config, checkpoint: str = "", num_clips: int | None = None,
-                 save_dir: str = "") -> dict:
+                 save_dir: str = "", ema: bool = False) -> dict:
     """Evaluate under the config's PINNED protocol: eval_num_clips clips of
     eval_num_keys keys at eval_size from the held-out eval_seed stream —
     numbers are comparable across rounds for the same preset."""
@@ -131,7 +131,7 @@ def evaluate_cli(cfg: Config, checkpoint: str = "", num_clips: int | None = None
     enable_persistent_cache()
     model = build_model(cfg)
     if checkpoint:
-        params = restore_params(checkpoint)
+        params = restore_params(checkpoint, ema=ema)
     else:
         print("WARNING: no checkpoint given — evaluating RANDOM INIT weights")
         h, w = cfg.data.eval_size

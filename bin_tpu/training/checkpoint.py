@@ -50,16 +50,21 @@ def restore_if_available(manager: ocp.CheckpointManager,
     return manager.restore(latest, args=ocp.args.StandardRestore(abstract))
 
 
-def restore_params(directory: str) -> Any:
+def restore_params(directory: str, ema: bool = False) -> Any:
     """Load only the params pytree from the newest checkpoint in a dir
     (eval/demo path: no optimizer state needed).  Restores the raw saved
     tree and extracts ``params`` so callers need no optimizer knowledge.
+    ``ema=True`` returns the EMA shadow params instead (runs trained with
+    ``optim.ema_decay > 0``); raises if the checkpoint carries none.
 
     Also accepts a released-weights ``.npz`` (bin-tpu-export) so every
     params consumer — eval --checkpoint, train --init-from — can start
     from a released file, the reference's load-pretrained flow
     (SURVEY.md §3.2 'Model factory')."""
     if directory.endswith(".npz"):
+        if ema:
+            raise ValueError("released .npz weights carry a single params "
+                             "tree; export with --ema instead")
         from bin_tpu.weights import load_weights
         params, _, _ = load_weights(directory)
         return params
@@ -68,6 +73,13 @@ def restore_params(directory: str) -> Any:
     if latest is None:
         raise FileNotFoundError(f"no checkpoint found under {directory}")
     restored = manager.restore(latest)
-    if isinstance(restored, dict) and "params" in restored:
-        return restored["params"]
-    return restored.params
+    key = "ema_params" if ema else "params"
+    got = (restored.get(key) if isinstance(restored, dict)
+           else getattr(restored, key, None))
+    if got is None:
+        if ema:
+            raise ValueError(
+                f"checkpoint under {directory} has no EMA params "
+                "(trained with optim.ema_decay=0?)")
+        raise ValueError(f"checkpoint under {directory} has no params tree")
+    return got

@@ -21,6 +21,9 @@ class TrainState:
     step: jax.Array
     params: Any
     opt_state: Any
+    # EMA of params (optim.ema_decay > 0), else None (an empty pytree — old
+    # checkpoints without the field restore unchanged when EMA is off).
+    ema_params: Any = None
 
 
 def make_lr_schedule(cfg: OptimConfig) -> optax.Schedule:
@@ -63,5 +66,10 @@ def create_train_state(cfg: Config, model: Model, rng: jax.Array,
     params = model.init(rng, batch=1, height=h, width=w)
     optimizer = make_optimizer(cfg.optim)
     import jax.numpy as jnp
+    # EMA initialized AT the params (no bias correction needed later).
+    # jnp.copy, not identity: aliased leaves would be donated twice by the
+    # donated train step (XLA rejects `f(donate(a), donate(a))`).
+    ema = (jax.tree.map(jnp.copy, params)
+           if cfg.optim.ema_decay > 0 else None)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                      opt_state=optimizer.init(params))
+                      opt_state=optimizer.init(params), ema_params=ema)

@@ -55,8 +55,12 @@ def make_train_step(model: Model, cfg: Config,
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         aux["grad_norm"] = optax.global_norm(grads)
+        d = cfg.optim.ema_decay
+        ema = (jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
+                            state.ema_params, params)
+               if d > 0 and state.ema_params is not None else state.ema_params)
         return TrainState(step=state.step + 1, params=params,
-                          opt_state=opt_state), aux
+                          opt_state=opt_state, ema_params=ema), aux
 
     # With a mesh, jit infers the SPMD partitioning from input shardings:
     # state arrives replicated, the batch arrives sharded over 'data', so

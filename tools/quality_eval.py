@@ -65,16 +65,19 @@ def main():
     ap.add_argument("--style", default=None,
                     help="synthetic style override (default: preset's)")
     ap.add_argument("--set", dest="overrides", action="append", default=[])
+    ap.add_argument("--ema", action="store_true",
+                    help="evaluate the EMA params (optim.ema_decay runs)")
     args = ap.parse_args()
 
     cfg = get_config(args.preset, args.overrides)
     model = build_model(cfg)
-    params = restore_params(args.checkpoint)
+    params = restore_params(args.checkpoint, ema=args.ema)
 
     h = args.size[0]
     w = args.size[1] if len(args.size) > 1 else args.size[0]
     print(f"eval protocol: size={h}x{w} clips={args.clips} keys={args.keys} "
-          f"seed={cfg.data.eval_seed} dtype={cfg.model.dtype}")
+          f"seed={cfg.data.eval_seed} dtype={cfg.model.dtype}"
+          + (" params=ema" if args.ema else ""))
     source = SyntheticSource(num_samples=args.clips, num_keys=args.keys,
                              height=h, width=w,
                              seed=cfg.data.eval_seed,
