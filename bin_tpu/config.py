@@ -273,6 +273,21 @@ def config3_prf() -> Config:
     )
 
 
+def config3_prf_extended() -> Config:
+    """config3 + perceptual term — the reference's "extended config" analog
+    (SURVEY.md §3.2 Loss module [P]: the PRF extension trains with a VGG
+    perceptual loss).  Mode/weight are the measured winner of the round-3
+    offline A/B (BASELINE.md): the gradient surrogate (best SSIM, -0.08 dB
+    PSNR vs pixel-only); set loss.perceptual_mode=vgg when real VGG-16
+    weights are available to import."""
+    cfg = config3_prf()
+    import dataclasses
+    return dataclasses.replace(
+        cfg, preset="config3_prf_extended",
+        loss=dataclasses.replace(cfg.loss, perceptual_weight=0.5,
+                                 perceptual_mode="gradient"))
+
+
 def config4_gopro_720p() -> Config:
     return Config(
         preset="config4_gopro_720p",
@@ -288,8 +303,10 @@ def config5_v5e_streaming() -> Config:
     return Config(
         preset="config5_v5e_streaming",
         # Throughput preset: stem 4 keeps every conv at >=C256 (measured
-        # 43.3 vs 33.6 output fps at stem 2 — BASELINE.md); equal FLOP
-        # budget to the stem-2 quality presets.
+        # 39.4 vs 33.6 output fps at stem 2 — BASELINE.md) at an equal
+        # FLOP budget, but scores ~0.8 dB below stem 2 when trained (round
+        # 3); the flagship-of-record is config3's stem-2 architecture and
+        # this preset is the speed-over-quality option.
         model=ModelConfig(name="prf", num_levels=2, use_convlstm=True,
                           cycle_level=True, base_features=256, stem_factor=4,
                           dtype="bfloat16"),
@@ -303,7 +320,8 @@ def config5_v5e_streaming() -> Config:
 PRESETS = {
     fn.__name__: fn
     for fn in (config1_backbone_128, config2_pyramid, config3_prf,
-               config4_gopro_720p, config5_v5e_streaming)
+               config3_prf_extended, config4_gopro_720p,
+               config5_v5e_streaming)
 }
 
 

@@ -27,7 +27,8 @@ def _tiny(cfg):
 
 
 @pytest.mark.parametrize("preset", [
-    "config1_backbone_128", "config2_pyramid", "config3_prf"])
+    "config1_backbone_128", "config2_pyramid", "config3_prf",
+    "config3_prf_extended"])
 def test_one_train_step_per_config(preset):
     cfg = _tiny(get_config(preset))
     model = build_model(cfg)
