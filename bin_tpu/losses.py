@@ -99,6 +99,7 @@ def pyramid_loss(outputs: list[jax.Array], gt: jax.Array,
     if len(odd_levels) >= 2:
         deep_times = level_output_times(odd_levels[-1], window_size)
         center_t = deep_times[len(deep_times) // 2]
+    perceptual_sum = jnp.float32(0.0)
     for idx, out in enumerate(outputs):
         level = idx + 1
         times = level_output_times(level, window_size)
@@ -108,13 +109,20 @@ def pyramid_loss(outputs: list[jax.Array], gt: jax.Array,
         if cfg.perceptual_weight > 0.0:
             fn = perceptual_fn or (
                 lambda p, t: gradient_loss(p, t, cfg.charbonnier_eps))
-            term = term + cfg.perceptual_weight * fn(
+            p_term = fn(
                 depth_to_space(out.astype(jnp.float32), stem_factor),
                 depth_to_space(level_gt.astype(jnp.float32), stem_factor))
+            perceptual_sum = perceptual_sum + p_term
+            term = term + cfg.perceptual_weight * p_term
         aux[f"loss_level{level}"] = term
         total = total + weight * term
         if center_t is not None and center_t in times:
             center_preds.append(out[:, times.index(center_t)])
+
+    if cfg.perceptual_weight > 0.0:
+        # unweighted sum over levels — observable in the metrics stream
+        # (it is otherwise folded invisibly into loss_level{l})
+        aux["loss_perceptual"] = perceptual_sum
 
     if cfg.cycle_weight > 0.0 and len(center_preds) >= 2:
         # tie the first (level-1) and last (cycle-level) estimates of the
