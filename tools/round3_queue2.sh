@@ -9,6 +9,15 @@ export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_c
 LOG=runs/round3_queue2.log
 echo "=== queue2 start $(date -u)" >> "$LOG"
 
+# 0. stem-2 regression chase: round-1 recorded 33.6 fps for stem-2; the
+# round-3 re-bench reads 28.9 (fused) / 26.3 (unfused).  A/B the other
+# round-2 change that touches the inference graph (the producer-fused
+# intermediate clamp) at stem 2.
+[ -s runs/bench_r3_clampoff.json ] || { timeout 3600 python bench.py \
+  --set model.clamp_intermediate=false \
+  > runs/bench_r3_clampoff.json 2> runs/bench_r3_clampoff.log
+  echo "--- bench clampoff rc=$? $(date -u)" >> "$LOG"; }
+
 if [ ! -f runs/prf_ema20k/DONE ]; then
   timeout 14400 python train.py --preset config3_prf \
     --set data.loader=grain --set model.remat=true \
