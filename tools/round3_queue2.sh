@@ -18,6 +18,16 @@ echo "=== queue2 start $(date -u)" >> "$LOG"
   > runs/bench_r3_clampoff.json 2> runs/bench_r3_clampoff.log
   echo "--- bench clampoff rc=$? $(date -u)" >> "$LOG"; }
 
+# 0b. environment-vs-code disambiguation: the ROUND-1 code (worktree at
+# b93bc8b, where stem-2 recorded 33.6 fps) re-benched on today's chip.
+# ~33.6 again => round-2 code changes cost stem-2; ~29 => the environment
+# (libtpu/tunnel) changed and today's numbers are the honest baseline.
+if [ -d /tmp/r1code ] && [ ! -s runs/bench_r1code_stem2.json ]; then
+  (cd /tmp/r1code && timeout 3600 python bench.py --stem 2 --base 128) \
+    > runs/bench_r1code_stem2.json 2> runs/bench_r1code_stem2.log
+  echo "--- bench r1code stem2 rc=$? $(date -u)" >> "$LOG"
+fi
+
 if [ ! -f runs/prf_ema20k/DONE ]; then
   timeout 14400 python train.py --preset config3_prf \
     --set data.loader=grain --set model.remat=true \
