@@ -30,7 +30,7 @@ DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
 _INSTR = re.compile(
     r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\(?[\w\[\],{}:()\s]*?\)?)\s+"
     r"([\w\-]+)\((.*)$")
-_SHAPE = re.compile(r"(\w+)\[([\d,]*)\]")
+_SHAPE = re.compile(r"(\w+)\[([\d,]*)\](?:\{([\d,]+)\})?")
 
 
 def shape_of(type_str):
@@ -38,6 +38,16 @@ def shape_of(type_str):
     if not m:
         return None
     return m.group(1), [int(d) for d in m.group(2).split(",") if d]
+
+
+def typestr_of(type_str):
+    """Compact 'bf16[90,24,21,1024]{3,2,1,0}' rendering (keeps layout —
+    a non-default minor-to-major is usually WHY a copy exists)."""
+    m = _SHAPE.search(type_str)
+    if not m:
+        return "?"
+    lay = "{" + m.group(3) + "}" if m.group(3) else ""
+    return f"{m.group(1)}[{m.group(2)}]{lay}"
 
 
 def nelems(dims):
@@ -56,7 +66,10 @@ def parse_module(txt: str):
     """
     comp_types = defaultdict(dict)   # comp -> instr name -> type str
     comp_convs = defaultdict(list)   # comp -> (flops, desc)
+    comp_opcodes = defaultdict(lambda: defaultdict(int))  # comp -> opcode -> n
     entry = {}
+    entry_operands = {}              # entry instr name -> [operand names]
+    entry_types = {}                 # entry instr name -> result type str
     cur, in_entry = None, False
     for raw in txt.splitlines():
         line = raw.rstrip()
@@ -76,9 +89,13 @@ def parse_module(txt: str):
             continue
         name, rtype, opcode, rest = mi.groups()
         comp_types[cur][name] = rtype
+        comp_opcodes[cur][opcode] += 1
         if in_entry:
             mcall = re.search(r"calls=%?([\w.\-]+)", ls)
             entry[name] = (opcode, rtype, mcall.group(1) if mcall else None)
+            entry_types[name] = rtype
+            entry_operands[name] = [a.strip().lstrip("%") for a in
+                                    rest.split(")")[0].split(",") if a.strip()]
         if opcode == "convolution":
             # operands by name (printed without types in this HLO dialect)
             args = [a.strip().lstrip("%") for a in
@@ -98,7 +115,37 @@ def parse_module(txt: str):
     comp_desc = {c: "; ".join(d for _, d in v[:2]) +
                     (f" +{len(v)-2}" if len(v) > 2 else "")
                  for c, v in comp_convs.items()}
-    return entry, comp_flops, comp_desc
+    aux = {"operands": entry_operands, "types": entry_types,
+           "opcodes": dict(comp_opcodes)}
+    return entry, comp_flops, comp_desc, aux
+
+
+_BORING = {"parameter", "constant", "broadcast", "get-tuple-element",
+           "tuple", "bitcast", "convert"}
+
+
+def nonconv_desc(name, entry, aux):
+    """'copy bf16[1,180,320,512]{2,3,1,0} <- {3,2,1,0}' style description:
+    result type+layout, operand layouts when they differ, and for fusions
+    the opcode histogram of the fused computation — enough to see WHICH
+    tensor handoff a copy/reshape serves and whether a layout flip is why."""
+    opcode, rtype, called = entry.get(name, ("?", "", None))
+    out = typestr_of(rtype)
+    ins = [typestr_of(aux["types"].get(o, ""))
+           for o in aux["operands"].get(name, [])
+           if o in aux["types"]]
+    ins = [t for t in ins if t != "?"][:2]
+    desc = f"{opcode} {out}"
+    if ins:
+        desc += " <- " + ", ".join(ins)
+    if called and called in aux["opcodes"]:
+        hist = {k: v for k, v in aux["opcodes"][called].items()
+                if k not in _BORING}
+        inner = ",".join(f"{k}x{v}" if v > 1 else k for k, v in
+                         sorted(hist.items(), key=lambda kv: -kv[1])[:4])
+        if inner:
+            desc += f" [{inner}]"
+    return desc
 
 
 def capture_trace(fn, reps=3):
@@ -124,14 +171,15 @@ def capture_trace(fn, reps=3):
 
 
 def report(compiled_text, durs, top=30, json_out=None):
-    entry, comp_flops, comp_desc = parse_module(compiled_text)
+    entry, comp_flops, comp_desc, aux = parse_module(compiled_text)
     total_us = sum(durs.values())
     rows = []
     total_flops = 0
     for name, us in durs.items():
         opcode, rtype, called = entry.get(name, ("?", "", None))
         flops = comp_flops.get(called, 0) if called else 0
-        desc = comp_desc.get(called, opcode) if called else opcode
+        desc = (comp_desc.get(called) if called else None) or \
+            nonconv_desc(name, entry, aux)
         sh = shape_of(rtype)
         nbytes = nelems(sh[1]) * DTYPE_BYTES.get(sh[0], 4) if sh else 0
         total_flops += flops
@@ -165,10 +213,10 @@ def report(compiled_text, durs, top=30, json_out=None):
     # The named list VERDICT r2 item 3 asks for: where the non-conv time is
     nonconv = sorted((r for r in rows if not r[2]), reverse=True)
     print("\ntop non-conv ops (the recoverable slice):")
-    for us, name, _fl, nbytes, desc in nonconv[:8]:
+    for us, name, _fl, nbytes, desc in nonconv[:12]:
         gbs = nbytes / (us * 1e-6) / 1e9 if us else 0
         print(f"  {name[:30]:30s} {us/1e3:7.2f} ms {100*us/total_us:4.1f}% "
-              f"{gbs:8.1f} GB/s  {desc[:60]}")
+              f"{gbs:8.1f} GB/s  {desc[:110]}")
 
 
 def main():
