@@ -53,6 +53,12 @@ class ModelConfig:
                                    # numerics) — A/B surface for runtime AND
                                    # compile-time attribution (the round-2
                                    # compile regression, VERDICT r2 weak #3)
+    s2d_via_conv: bool = False     # pack the input window with a one-hot
+                                   # strided conv instead of the reshape/
+                                   # transpose form (bit-exact; targets the
+                                   # ~20 GB/s layout copies the transpose
+                                   # lowers to — ops/pixel_shuffle.py
+                                   # space_to_depth_conv). A/B surface.
     use_pallas_lstm: bool = False  # fused Pallas kernel for the ConvLSTM gate
                                    # math (ops/pallas/lstm_gates.py) instead
                                    # of XLA's fusion — benchable A/B surface

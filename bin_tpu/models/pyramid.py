@@ -120,15 +120,15 @@ class BINPyramid(nn.Module):
         Charbonnier loss and PSNR are pointwise and can consume packed
         frames directly (see backbone.py for why packing stays internal).
         """
-        from bin_tpu.ops.pixel_shuffle import space_to_depth
+        from bin_tpu.ops.pixel_shuffle import space_to_depth, space_to_depth_conv
 
         c = self.cfg
         if window.shape[-1] == 3:
             # cast BEFORE packing: the space-to-depth transpose of a bf16
             # tensor is ~10x cheaper than fp32 (measured; the head conv
             # casts to the compute dtype anyway)
-            window = space_to_depth(window.astype(jnp.dtype(c.dtype)),
-                                    c.stem_factor)
+            s2d = space_to_depth_conv if c.s2d_via_conv else space_to_depth
+            window = s2d(window.astype(jnp.dtype(c.dtype)), c.stem_factor)
         b, k, h, w, _ = window.shape
         if k != c.window_size:
             raise ValueError(f"window has {k} keys, config says {c.window_size}")

@@ -10,10 +10,12 @@ keeping every conv at lane-friendly channel counts.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
-__all__ = ["space_to_depth", "depth_to_space"]
+__all__ = ["space_to_depth", "depth_to_space", "space_to_depth_conv"]
 
 
 def space_to_depth(x: jax.Array, factor: int) -> jax.Array:
@@ -27,6 +29,39 @@ def space_to_depth(x: jax.Array, factor: int) -> jax.Array:
     x = x.reshape(*lead, h // factor, factor, w // factor, factor, c)
     x = jnp.moveaxis(x, (-4, -2), (-3, -2))  # (..., H/f, W/f, fy, fx, C)
     return x.reshape(*lead, h // factor, w // factor, factor * factor * c)
+
+
+def _s2d_kernel(factor: int, c: int, dtype) -> np.ndarray:
+    """One-hot (f, f, C, f*f*C) kernel implementing space_to_depth's exact
+    channel layout: out channel (dy*f + dx)*C + c reads pixel (dy, dx)."""
+    k = np.zeros((factor, factor, c, factor * factor * c), np.float32)
+    for dy in range(factor):
+        for dx in range(factor):
+            for ch in range(c):
+                k[dy, dx, ch, (dy * factor + dx) * c + ch] = 1.0
+    return k.astype(dtype)
+
+
+def space_to_depth_conv(x: jax.Array, factor: int) -> jax.Array:
+    """space_to_depth as a one-hot strided conv — bit-exact (each output
+    element sums exactly ONE nonzero tap, so no rounding at any dtype).
+
+    Why it exists: XLA lowers the reshape→transpose→reshape form of the
+    720p input pack to layout copies it executes at ~20 GB/s (trace r3:
+    copy.461/462, 2.3 ms/window), because the innermost dim of the
+    transpose is the 3-wide RGB axis — pathological for the (8,128) tile.
+    The MXU's strided-conv input pipeline does the same data movement as
+    part of a conv it is built to feed.  A/B'd via model.s2d_via_conv."""
+    if factor == 1:
+        return x
+    *lead, h, w, c = x.shape
+    if h % factor or w % factor:
+        raise ValueError(f"spatial dims {(h, w)} not divisible by {factor}")
+    kernel = jnp.asarray(_s2d_kernel(factor, c, x.dtype))
+    out = jax.lax.conv_general_dilated(
+        x.reshape(-1, h, w, c), kernel, (factor, factor), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out.reshape(*lead, h // factor, w // factor, factor * factor * c)
 
 
 def depth_to_space(x: jax.Array, factor: int) -> jax.Array:

@@ -141,6 +141,34 @@ def test_pixel_shuffle_roundtrip_and_layout():
     np.testing.assert_array_equal(y[0, 0, 0, 3:6], np.asarray(x)[0, 0, 1])
 
 
+def test_space_to_depth_conv_bit_exact():
+    """The one-hot-conv pack equals the reshape/transpose pack BIT-exactly
+    (each output sums exactly one nonzero tap) at fp32 AND bf16, with and
+    without leading batch/key dims."""
+    from bin_tpu.ops.pixel_shuffle import space_to_depth, space_to_depth_conv
+    for shape in [(2, 3, 16, 24, 3), (4, 8, 12, 3)]:
+        for dtype in (jnp.float32, jnp.bfloat16):
+            x = _rand(*shape).astype(dtype)
+            for f in (1, 2, 4):
+                np.testing.assert_array_equal(
+                    np.asarray(space_to_depth_conv(x, f)),
+                    np.asarray(space_to_depth(x, f)))
+
+
+def test_s2d_via_conv_model_flag_exact():
+    """model.s2d_via_conv is a pure layout A/B: identical outputs."""
+    cfg = dataclasses.replace(SMALL, stem_factor=2)
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0), batch=1, height=32, width=32)
+    window = _rand(1, 4, 32, 32, 3)
+    states = model.initial_state(1, 32, 32)
+    outs_a, _ = model.apply_window(params, window, states)
+    model_b = build_model(dataclasses.replace(cfg, s2d_via_conv=True))
+    outs_b, _ = model_b.apply_window(params, window, states)
+    for a, b in zip(outs_a, outs_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_stem_factor_shapes():
     """stem_factor=2: the pyramid runs fully packed; unpack restores I/O."""
     cfg = dataclasses.replace(SMALL, stem_factor=2)
