@@ -227,6 +227,9 @@ def main():
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--top", type=int, default=30)
     p.add_argument("--json", default=None, help="write full op table to file")
+    p.add_argument("--s2d-via-conv", action="store_true",
+                   help="trace with model.s2d_via_conv=true (input pack as "
+                        "one-hot strided conv instead of transpose)")
     args = p.parse_args()
 
     import numpy as np
@@ -238,7 +241,8 @@ def main():
 
     enable_persistent_cache()
     cfg = ModelConfig(name="prf", base_features=args.base,
-                      stem_factor=args.stem, dtype="bfloat16")
+                      stem_factor=args.stem, dtype="bfloat16",
+                      s2d_via_conv=args.s2d_via_conv)
     model = build_model(cfg)
     params = model.init(jax.random.key(0), batch=1, height=64, width=64)
     rng = np.random.default_rng(0)
