@@ -47,6 +47,12 @@ class ModelConfig:
                                    # weights, int32 accum — ops/quant.py);
                                    # checkpoint-compatible A/B flag.
                                    # Feasibility gate: tools/bench_int8_conv.py
+    conv_int8_min_cin: int = 0     # quantize only convs with input channels
+                                   # >= this (0 = all convs when conv_int8).
+                                   # Quality/speed dial: the deep wide convs
+                                   # hold the FLOPs (and took int8 well in
+                                   # the microbench); the high-res narrow
+                                   # convs hold the fine detail.
     fused_upsample: bool = True    # decoder upsample-conv as one phase-bank
                                    # conv (ops/fused_upsample.py); False =
                                    # unfused upsample-then-conv (identical

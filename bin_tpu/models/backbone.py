@@ -48,6 +48,7 @@ class Backbone(nn.Module):
     conv_int8: bool = False        # PTQ int8 convs (inference experiment;
                                    # tail + context_proj stay float — see
                                    # ops/quant.py)
+    conv_int8_min_cin: int = 0     # quantize only convs with Cin >= this
 
     @nn.compact
     def __call__(self, frame_a: jax.Array, frame_b: jax.Array,
@@ -68,17 +69,19 @@ class Backbone(nn.Module):
         chans = [self.base_features * m for m in self.channel_mult]
         x = jnp.concatenate([frame_a, frame_b], axis=-1).astype(self.dtype)
 
-        q = self.conv_int8
+        q, qmc = self.conv_int8, self.conv_int8_min_cin
         x = ConvBlock(chans[0], self.slope, dtype=self.dtype,
-                      param_dtype=self.param_dtype, quant=q, name="head")(x)
+                      param_dtype=self.param_dtype, quant=q,
+                      quant_min_cin=qmc, name="head")(x)
         skips = []
         for i, ch in enumerate(chans[:-1]):
             x = ResBlock(ch, self.slope, dtype=self.dtype, quant=q,
+                         quant_min_cin=qmc,
                          param_dtype=self.param_dtype, name=f"enc_{i}")(x)
             skips.append(x)
             x = Downsample(chans[i + 1], self.slope, dtype=self.dtype,
                            param_dtype=self.param_dtype, quant=q,
-                           name=f"down_{i}")(x)
+                           quant_min_cin=qmc, name=f"down_{i}")(x)
 
         if context is not None:
             x = x + conv1x1(chans[-1], dtype=self.dtype,
@@ -87,6 +90,7 @@ class Backbone(nn.Module):
 
         for i in range(self.num_res_blocks):
             x = ResBlock(chans[-1], self.slope, dtype=self.dtype, quant=q,
+                         quant_min_cin=qmc,
                          param_dtype=self.param_dtype, name=f"mid_{i}")(x)
         feats = x  # bottleneck features (ConvLSTM input, PRF)
 
@@ -96,6 +100,7 @@ class Backbone(nn.Module):
                          fused=self.fused_upsample, name=f"up_{i}")(x)
             x = x + skips[i]
             x = ResBlock(ch, self.slope, dtype=self.dtype, quant=q,
+                         quant_min_cin=qmc,
                          param_dtype=self.param_dtype, name=f"dec_{i}")(x)
 
         # Zero-init tail: at init every level predicts exactly the average of

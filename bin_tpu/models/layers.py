@@ -32,14 +32,20 @@ def conv1x1(features: int, *, dtype: Any = jnp.float32,
 
 
 def _conv3x3_maybe_quant(x, features, *, strides=1, dtype, param_dtype,
-                         quant, name):
+                         quant, quant_min_cin=0, name):
     """conv3x3 as nn.Conv (default) or as the int8 PTQ conv (ops/quant.py).
 
     Plain function, NOT a module: both branches create a child of the
     CALLER's scope named ``name`` holding {kernel, bias}, so the param tree
     is byte-identical either way and model.conv_int8 is a pure inference
-    A/B flag over existing checkpoints."""
-    if not quant:
+    A/B flag over existing checkpoints.
+
+    ``quant_min_cin`` scopes quantization to convs whose input channel
+    count is at least that wide (static shape, resolved at trace time):
+    the deep wide convs hold the FLOPs, the high-res narrow convs hold the
+    fine detail, so the threshold is a quality/speed dial (BASELINE.md
+    round-3 int8 table)."""
+    if not quant or x.shape[-1] < quant_min_cin:
         return conv3x3(features, strides=strides, dtype=dtype,
                        param_dtype=param_dtype, name=name)(x)
     from bin_tpu.ops.quant import int8_conv
@@ -58,13 +64,16 @@ class ConvBlock(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     quant: bool = False
+    quant_min_cin: int = 0
 
     @nn.compact
     def __call__(self, x):
         x = _conv3x3_maybe_quant(x, self.features, strides=self.strides,
                                  dtype=self.dtype,
                                  param_dtype=self.param_dtype,
-                                 quant=self.quant, name="Conv_0")
+                                 quant=self.quant,
+                                 quant_min_cin=self.quant_min_cin,
+                                 name="Conv_0")
         return nn.leaky_relu(x, self.slope)
 
 
@@ -77,16 +86,21 @@ class ResBlock(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     quant: bool = False
+    quant_min_cin: int = 0
 
     @nn.compact
     def __call__(self, x):
         h = _conv3x3_maybe_quant(x, self.features, dtype=self.dtype,
                                  param_dtype=self.param_dtype,
-                                 quant=self.quant, name="Conv_0")
+                                 quant=self.quant,
+                                 quant_min_cin=self.quant_min_cin,
+                                 name="Conv_0")
         h = nn.leaky_relu(h, self.slope)
         h = _conv3x3_maybe_quant(h, self.features, dtype=self.dtype,
                                  param_dtype=self.param_dtype,
-                                 quant=self.quant, name="Conv_1")
+                                 quant=self.quant,
+                                 quant_min_cin=self.quant_min_cin,
+                                 name="Conv_1")
         return x + h
 
 
@@ -98,13 +112,16 @@ class Downsample(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     quant: bool = False
+    quant_min_cin: int = 0
 
     @nn.compact
     def __call__(self, x):
         x = _conv3x3_maybe_quant(x, self.features, strides=2,
                                  dtype=self.dtype,
                                  param_dtype=self.param_dtype,
-                                 quant=self.quant, name="Conv_0")
+                                 quant=self.quant,
+                                 quant_min_cin=self.quant_min_cin,
+                                 name="Conv_0")
         return nn.leaky_relu(x, self.slope)
 
 

@@ -83,7 +83,9 @@ class BINPyramid(nn.Module):
                      num_res_blocks=c.num_res_blocks, slope=c.lrelu_slope,
                      stem_factor=c.stem_factor, dtype=dtype,
                      param_dtype=pdtype, fused_upsample=c.fused_upsample,
-                     conv_int8=c.conv_int8, name=f"level_{l}")
+                     conv_int8=c.conv_int8,
+                     conv_int8_min_cin=c.conv_int8_min_cin,
+                     name=f"level_{l}")
             for l in range(1, n + 1)
         ]
         if c.use_convlstm:

@@ -67,3 +67,37 @@ def test_quantized_forward_close_to_float():
     assert err < 0.05, err
     psnr_delta = -10 * np.log10(float(jnp.mean((vf - vq) ** 2)) + 1e-12)
     assert psnr_delta > 35.0, psnr_delta  # int8-vs-float "PSNR" of outputs
+
+
+def test_conv_int8_min_cin_scopes_quantization():
+    """conv_int8_min_cin: a huge threshold disables quantization entirely
+    (bit-identical to float); a mid threshold quantizes only the wide convs
+    (differs from both float and all-int8); the param tree never changes."""
+    cfg_f = get_config("config3_prf", [
+        "model.base_features=8", "model.num_res_blocks=1",
+        "model.convlstm_features=16"])
+    mk = lambda **kw: build_model(dataclasses.replace(
+        cfg_f, model=dataclasses.replace(cfg_f.model, **kw)))
+    mf = mk()
+    m_all = mk(conv_int8=True)
+    m_off = mk(conv_int8=True, conv_int8_min_cin=10_000)
+    m_mid = mk(conv_int8=True, conv_int8_min_cin=16)  # chans are 8,16,32
+    params = mf.init(jax.random.key(0), height=32, width=32)
+    # zero-init tails make the init-time output exactly the pair average,
+    # which would mask quantization entirely — perturb all params
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.key(1), len(leaves))
+    params = jax.tree_util.tree_unflatten(treedef, [
+        l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, keys)])
+    blurry = jnp.asarray(np.random.default_rng(3).uniform(
+        0, 1, (1, 6, 32, 32, 3)).astype(np.float32))
+    vf = np.asarray(mf.infer_clip(params, blurry)[0])
+    v_all = np.asarray(m_all.infer_clip(params, blurry)[0])
+    v_off = np.asarray(m_off.infer_clip(params, blurry)[0])
+    v_mid = np.asarray(m_mid.infer_clip(params, blurry)[0])
+    np.testing.assert_array_equal(v_off, vf)        # threshold off == float
+    assert np.abs(v_mid - vf).max() > 0             # mid threshold quantizes
+    assert np.abs(v_mid - v_all).max() > 0          # ...but not everything
+    # scoped quantization is at least as close to float as all-int8
+    assert np.abs(v_mid - vf).mean() <= np.abs(v_all - vf).mean()
