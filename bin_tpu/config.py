@@ -286,18 +286,20 @@ def config3_prf() -> Config:
 
 
 def config3_prf_extended() -> Config:
-    """config3 + perceptual term — the reference's "extended config" analog
-    (SURVEY.md §3.2 Loss module [P]: the PRF extension trains with a VGG
-    perceptual loss).  Mode/weight are the measured winner of the round-3
-    offline A/B (BASELINE.md): the gradient surrogate (best SSIM, -0.08 dB
-    PSNR vs pixel-only); set loss.perceptual_mode=vgg when real VGG-16
-    weights are available to import."""
+    """config3 + perceptual term + parameter EMA — the reference's "extended
+    config" analog (SURVEY.md §3.2 Loss module [P]: the PRF extension trains
+    with a VGG perceptual loss).  Mode/weight are the measured winner of the
+    round-3 offline A/B (BASELINE.md): the gradient surrogate (best SSIM,
+    -0.08 dB PSNR vs pixel-only); set loss.perceptual_mode=vgg when real
+    VGG-16 weights are available to import.  EMA (decay 0.999) measured
+    +0.19 dB over raw params on the 20k textured run (eval with --ema)."""
     cfg = config3_prf()
     import dataclasses
     return dataclasses.replace(
         cfg, preset="config3_prf_extended",
         loss=dataclasses.replace(cfg.loss, perceptual_weight=0.5,
-                                 perceptual_mode="gradient"))
+                                 perceptual_mode="gradient"),
+        optim=dataclasses.replace(cfg.optim, ema_decay=0.999))
 
 
 def config4_gopro_720p() -> Config:
