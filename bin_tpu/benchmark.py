@@ -12,11 +12,18 @@ bf16 compute, streaming sliding-window inference.
 
 Flagship-of-record (round 3): stem_factor=2 / base_features=128 — the
 architecture that holds the QUALITY claim. The stem-4/base-256 variant is
-~17% faster (39.4 vs 33.6 fps) but trained 0.87 dB worse on the pinned
-textured benchmark with two near-divergences (BASELINE.md round 3); the
-driver's north-star couples speed and quality in one model, so the bench
-defaults to the model the quality evidence lives on. --stem 4 --base 256
-reproduces the throughput-variant number.
+~36% faster but trained 0.87 dB worse on the pinned textured benchmark
+with two near-divergences (BASELINE.md round 3); the driver's north-star
+couples speed and quality in one model, so the bench defaults to the
+model the quality evidence lives on. --stem 4 --base 256 reproduces the
+throughput-variant number.
+
+Default serving mode (round 3): scoped int8 PTQ on the wide convs
+(model.conv_int8=true, conv_int8_min_cin=256) — measured +12% fps over
+pure bf16 with the trained checkpoint's pinned-protocol eval moving by
+0.0004 dB (28.3989 vs 28.3993 bf16; 0.009 dB vs fp32 — identical to
+plain bf16's own distance from fp32, far inside the 0.05 dB budget).
+``--set model.conv_int8=false`` reproduces the pure-bf16 number.
 
 vs_baseline derivation (documented, since no reference numbers are
 recoverable — BASELINE.md): the reference is the same architecture in eager
@@ -152,7 +159,10 @@ def main(argv=None):
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
-    overrides = [f"model.dtype={args.dtype}"]
+    overrides = [f"model.dtype={args.dtype}",
+                 # default serving mode: scoped int8 PTQ (see module
+                 # docstring); user --set entries come later and win
+                 "model.conv_int8=true", "model.conv_int8_min_cin=256"]
     if args.stem is not None:
         overrides.append(f"model.stem_factor={args.stem}")
     if args.base is not None:
@@ -249,6 +259,14 @@ def main(argv=None):
         "detail": {
             "shape": [b, k, h, w],
             "dtype": args.dtype,
+            "model": (f"prf stem{cfg.model.stem_factor}/"
+                      f"base{cfg.model.base_features}"
+                      + (f" int8(min_cin={cfg.model.conv_int8_min_cin})"
+                         if cfg.model.conv_int8 else " bf16-only")),
+            "quality_note": ("flagship-of-record: pinned 256^2 eval "
+                            "28.58 dB (EMA params, bf16); the int8 scope "
+                            "measured 0.0004 dB below the bf16 eval on "
+                            "the trained checkpoint (BASELINE.md r3)"),
             "median_ms": round(dt * 1e3, 2),
             "flops_per_output_frame": flops_per_frame,
             "baseline_model": f"A100 eager est. ({EAGER_MFU:.0%} MFU of "
