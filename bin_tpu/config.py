@@ -200,6 +200,15 @@ class LogConfig:
     debug_nans: bool = False       # jax_debug_nans: fail fast on NaN/Inf
                                    # (SURVEY.md §6.2 — the sanitizer analog;
                                    # JAX purity removes data races by design)
+    stall_timeout_s: float = 3600.0  # failure detection (SURVEY.md §6.3):
+                                   # abort (exit 91) if NO train step completes
+                                   # for this long.  The PJRT tunnel can wedge
+                                   # indefinitely (observed: a remote compile
+                                   # that never returned after 55 min; cold
+                                   # compiles finish in <10 min) — a hung run
+                                   # holds the chip forever, while exit+resume
+                                   # is exact (checkpoint + grain loader
+                                   # state).  0 disables.
 
 
 @dataclass(frozen=True)

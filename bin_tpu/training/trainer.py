@@ -102,6 +102,55 @@ def device_prefetch(batches: Iterator[dict[str, Any]], size: int = 2,
             yield queue.popleft()
 
 
+class StallWatchdog:
+    """Abort the process if the training loop stops making progress.
+
+    Failure-detection subsystem (SURVEY.md §6.3).  The device sits behind a
+    PJRT tunnel that can wedge indefinitely (observed live: a remote compile
+    that never returned after 55 min of zero CPU activity, while cold
+    compiles of the same program family finish in <10 min).  A wedged run
+    holds the chip and its queue slot until an outer timeout kills it hours
+    later; exiting promptly with a distinct code (91) lets wrapper scripts
+    retry, and resume is exact (checkpoint + grain loader state replay).
+
+    The main loop calls ``beat()`` whenever the device demonstrably made
+    progress (a jitted step returned from trace/compile, or a metrics
+    device_get completed).  A daemon thread fires ``os._exit(EXIT_CODE)``
+    when no beat arrives for ``timeout_s`` — os._exit, not an exception,
+    because the main thread is stuck in a C-level blocking call that no
+    Python exception can interrupt.
+    """
+
+    EXIT_CODE = 91
+
+    def __init__(self, timeout_s: float):
+        import threading
+        self.timeout_s = timeout_s
+        self._last = time.monotonic()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._watch, daemon=True,
+                                        name="stall-watchdog")
+        self._thread.start()
+
+    def beat(self) -> None:
+        self._last = time.monotonic()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def _watch(self) -> None:
+        import sys
+        while not self._stop.wait(min(30.0, self.timeout_s / 4)):
+            idle = time.monotonic() - self._last
+            if idle > self.timeout_s:
+                print(f"[stall-watchdog] no train-loop progress for "
+                      f"{idle:.0f}s (> {self.timeout_s:.0f}s): the device "
+                      "tunnel is wedged; exiting 91 so the wrapper can "
+                      "retry (resume is exact)", file=sys.stderr, flush=True)
+                sys.stderr.flush()
+                os._exit(self.EXIT_CODE)
+
+
 def train_loop(cfg: Config, model: Model, state: TrainState,
                batches: Iterator[dict[str, Any]], num_steps: int,
                logger: MetricLogger, plan: MeshPlan | None = None,
@@ -114,6 +163,8 @@ def train_loop(cfg: Config, model: Model, state: TrainState,
     t_last = time.monotonic()
     frames_since = 0
     profiler_active = False
+    watchdog = (StallWatchdog(cfg.log.stall_timeout_s)
+                if cfg.log.stall_timeout_s > 0 else None)
     device_batches = device_prefetch(batches, size=max(2, cfg.data.prefetch),
                                      plan=plan)
     for i in range(num_steps):
@@ -128,9 +179,13 @@ def train_loop(cfg: Config, model: Model, state: TrainState,
         batch = next(device_batches)
         frames_since += batch["blurry"].shape[0] * batch["blurry"].shape[1]
         state, aux = step_fn(state, batch)
+        if watchdog is not None:
+            watchdog.beat()  # step i dispatched (first call: compile done)
         step_num = start_step + i + 1
         if step_num % log_every == 0 or i + 1 == num_steps:
             aux = jax.device_get(aux)  # sync point, only at log interval
+            if watchdog is not None:
+                watchdog.beat()  # device executed through step i
             now = time.monotonic()
             fps = frames_since / max(now - t_last, 1e-9)
             t_last, frames_since = now, 0
@@ -140,6 +195,8 @@ def train_loop(cfg: Config, model: Model, state: TrainState,
             checkpoint_cb(step_num, state)
     if profiler_active:  # num_steps < 15: don't leak an active profiler
         jax.profiler.stop_trace()
+    if watchdog is not None:
+        watchdog.stop()
     return state
 
 

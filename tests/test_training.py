@@ -114,3 +114,38 @@ def test_lr_warmup_schedule():
     assert abs(float(sched(100)) - 1e-3) < 1e-9
     assert abs(float(sched(250)) - 1e-3) < 1e-9   # decay counts post-warmup
     assert abs(float(sched(301)) - 5e-4) < 1e-9   # first decay at warmup+200
+
+
+def test_stall_watchdog_exits_91_when_stalled():
+    """Failure detection (SURVEY.md §6.3): a wedged device tunnel must abort
+    the process with the retryable exit code instead of hanging forever."""
+    import subprocess
+    import sys
+
+    code = ("from bin_tpu.training.trainer import StallWatchdog\n"
+            "import time\n"
+            "w = StallWatchdog(timeout_s=0.5)\n"
+            "time.sleep(30)\n")
+    p = subprocess.run([sys.executable, "-c", code], timeout=120)
+    assert p.returncode == StallWatchdogExitCode()
+
+
+def StallWatchdogExitCode():
+    from bin_tpu.training.trainer import StallWatchdog
+    return StallWatchdog.EXIT_CODE
+
+
+def test_stall_watchdog_beats_keep_it_quiet():
+    """Regular beats (the loop making progress) must never trigger the
+    abort, and stop() must shut the thread down cleanly."""
+    import time
+
+    from bin_tpu.training.trainer import StallWatchdog
+
+    w = StallWatchdog(timeout_s=0.4)
+    for _ in range(8):
+        time.sleep(0.1)
+        w.beat()
+    w.stop()
+    w._thread.join(timeout=5)
+    assert not w._thread.is_alive()

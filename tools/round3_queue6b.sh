@@ -1,0 +1,46 @@
+#!/bin/bash
+# Round-3 phase 8 (retry-capable relaunch of round3_queue6.sh): the
+# extended-preset run — config3_prf_extended (gradient perceptual w=0.5 +
+# EMA 0.999) trained 50k steps on the textured benchmark, then the full
+# eval battery.  Differences vs queue6: the trainer now runs a
+# StallWatchdog (exit 91 on a wedged PJRT tunnel — observed live on the
+# first queue6 attempt: a remote compile that never returned after 55 min),
+# and this wrapper retries on 91/124, resuming from the last checkpoint
+# (grain loader state makes the replay exact).
+set -u
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}"
+LOG=runs/round3_queue6.log
+echo "=== queue6b start $(date -u)" >> "$LOG"
+step() { echo "--- $1 rc=$2 $(date -u)" >> "$LOG"; }
+
+if [ ! -f runs/prf_ext50k/DONE ]; then
+  for attempt in 1 2 3; do
+    timeout 14400 python train.py --preset config3_prf_extended \
+      --set data.loader=grain --set model.remat=true \
+      --set model.dtype=bfloat16 --set checkpoint.save_interval_steps=5000 \
+      --set checkpoint.keep_last_n=2 \
+      --steps 50000 --workdir runs/prf_ext50k >> runs/prf_ext50k.log 2>&1
+    rc=$?
+    step "train_ext50k(attempt$attempt)" $rc
+    if [ $rc -eq 0 ]; then touch runs/prf_ext50k/DONE; break; fi
+    # 91 = stall watchdog (wedged tunnel), 124 = outer timeout: both are
+    # retryable — auto-resume picks up at the last checkpoint.
+    [ $rc -eq 91 ] || [ $rc -eq 124 ] || break
+  done
+fi
+
+if [ -f runs/prf_ext50k/DONE ]; then
+  q() { local out="$1"; shift
+    [ -s "$out" ] && return
+    timeout 3600 python tools/quality_eval.py \
+      --checkpoint runs/prf_ext50k/checkpoints \
+      --preset config3_prf_extended --set model.dtype=bfloat16 "$@" \
+      > "$out" 2>&1; step "$(basename $out)" $?; }
+  q runs/prf_ext50k/quality_256.txt
+  q runs/prf_ext50k/quality_256_ema.txt --ema
+  q runs/prf_ext50k/quality_352x640_ema.txt --ema --size 352 640
+  q runs/prf_ext50k/quality_256_ema_int8mc256.txt --ema \
+    --set model.conv_int8=true --set model.conv_int8_min_cin=256
+fi
+echo "=== queue6b end $(date -u)" >> "$LOG"
