@@ -54,6 +54,59 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def wait_for_device(deadline_s: float = 1800.0, probe_timeout_s: float = 300.0):
+    """Block until the accelerator backend initializes, with a bounded wait.
+
+    Failure detection at the bench boundary (SURVEY.md §6.3): the axon PJRT
+    tunnel is observed to go UNAVAILABLE between sessions (errors fast) or to
+    wedge (``jax.devices()`` blocks >10 min without returning). Probing in a
+    SUBPROCESS with a hard timeout covers both modes; retrying inside the
+    deadline rides out a transient outage so a round-end bench still lands.
+    Returns True when a probe succeeds; False if the deadline expires (the
+    caller proceeds anyway and fails with the real error, which is the most
+    informative outcome at that point). No-op cost when the device is up:
+    one ~15 s subprocess probe, nothing in the timed region.
+    """
+    import os
+    import subprocess
+
+    if deadline_s <= 0:
+        return True
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            # NB: this environment's site hook ignores the JAX_PLATFORMS env
+            # var (SURVEY.md §5) — apply it in-process so a test can point
+            # the probe at cpu; unset, the probe exercises the real backend.
+            probe_code = (
+                "import os, jax\n"
+                "p = os.environ.get('JAX_PLATFORMS', '')\n"
+                "if p: jax.config.update('jax_platforms', p)\n"
+                "print(jax.devices()[0].platform)\n")
+            r = subprocess.run(
+                [sys.executable, "-c", probe_code],
+                timeout=probe_timeout_s, capture_output=True, text=True,
+                env=os.environ.copy())
+            if r.returncode == 0:
+                if attempt > 1:
+                    log(f"device back after {time.monotonic() - t0:.0f}s "
+                        f"({attempt} probes)")
+                return True
+            err = (r.stderr or "").strip().splitlines()
+            err = err[-1] if err else "?"
+        except subprocess.TimeoutExpired:
+            err = f"probe wedged >{probe_timeout_s:.0f}s (killed)"
+        waited = time.monotonic() - t0
+        if waited >= deadline_s:
+            log(f"device still unavailable after {waited:.0f}s: {err}")
+            return False
+        log(f"device probe {attempt} failed ({err}); retrying "
+            f"({deadline_s - waited:.0f}s left)")
+        time.sleep(min(60.0, max(5.0, deadline_s - waited)))
+
+
 def _streaming_bench(args, model, params, blurry):
     """End-to-end serving-path benchmark: StreamingSession.push per key,
     INCLUDING the host boundary (pack, upload, emission fetch) — real wall
@@ -146,7 +199,13 @@ def main(argv=None):
                    help="streaming mode: background fetch thread overlaps "
                         "device->host transfer with the next key's compute "
                         "(per-key delivery at amortized cost)")
+    p.add_argument("--device-wait", type=float, default=1800.0,
+                   help="max seconds to wait for the accelerator backend "
+                        "before benching (the tunnel can be transiently "
+                        "down/wedged between sessions; 0 = no wait)")
     args = p.parse_args(argv)
+
+    wait_for_device(args.device_wait)
 
     import jax
     import jax.numpy as jnp

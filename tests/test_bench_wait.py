@@ -1,0 +1,55 @@
+"""wait_for_device: the bench-boundary failure detector (SURVEY.md §6.3).
+
+The axon PJRT tunnel is observed to go down between sessions in two modes:
+fast UNAVAILABLE errors and silent wedges where ``jax.devices()`` blocks
+>10 min. bench.py probes in a subprocess with a hard timeout so a
+round-end bench rides out a transient outage instead of hanging/dying.
+"""
+
+import os
+import time
+
+import pytest
+
+from bin_tpu.benchmark import wait_for_device
+
+
+def _with_platform(value):
+    old = os.environ.get("JAX_PLATFORMS")
+    os.environ["JAX_PLATFORMS"] = value
+    return old
+
+
+def _restore_platform(old):
+    if old is None:
+        os.environ.pop("JAX_PLATFORMS", None)
+    else:
+        os.environ["JAX_PLATFORMS"] = old
+
+
+def test_wait_for_device_success():
+    # the probe subprocess applies JAX_PLATFORMS in-process (the site hook
+    # ignores the env var — SURVEY.md §5), so cpu makes it succeed fast
+    old = _with_platform("cpu")
+    try:
+        t0 = time.monotonic()
+        assert wait_for_device(deadline_s=300.0) is True
+        assert time.monotonic() - t0 < 300.0
+    finally:
+        _restore_platform(old)
+
+
+def test_wait_for_device_gives_up_at_deadline():
+    # an unknown platform makes every probe error fast; the wait must retry
+    # within the deadline and then return False instead of looping forever
+    old = _with_platform("nonexistent")
+    try:
+        t0 = time.monotonic()
+        assert wait_for_device(deadline_s=8.0, probe_timeout_s=60.0) is False
+        assert time.monotonic() - t0 < 120.0
+    finally:
+        _restore_platform(old)
+
+
+def test_wait_for_device_disabled():
+    assert wait_for_device(deadline_s=0) is True

@@ -11,12 +11,23 @@ set -u
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}"
 LOG=runs/round3_queue6.log
-echo "=== queue6b start $(date -u)" >> "$LOG"
+# Hard deadline (epoch seconds): never START a train attempt after this —
+# the chip must be free for the driver's round-end bench.  Default
+# 2026-08-18 07:00 UTC; attempts already running still get their timeout.
+DEADLINE="${QUEUE6B_DEADLINE:-1787036400}"
+echo "=== queue6b start $(date -u) (deadline $(date -u -d @$DEADLINE))" >> "$LOG"
 step() { echo "--- $1 rc=$2 $(date -u)" >> "$LOG"; }
 
 if [ ! -f runs/prf_ext50k/DONE ]; then
   for attempt in 1 2 3; do
-    timeout 14400 python train.py --preset config3_prf_extended \
+    if [ "$(date +%s)" -ge "$DEADLINE" ]; then
+      echo "--- deadline passed, not starting attempt$attempt $(date -u)" >> "$LOG"
+      break
+    fi
+    # bound this attempt by both 4 h and the time left to the deadline
+    left=$(( DEADLINE - $(date +%s) + 1800 ))  # +30 min grace to finish
+    [ "$left" -gt 14400 ] && left=14400
+    timeout "$left" python train.py --preset config3_prf_extended \
       --set data.loader=grain --set model.remat=true \
       --set model.dtype=bfloat16 --set checkpoint.save_interval_steps=5000 \
       --set checkpoint.keep_last_n=2 \
@@ -33,6 +44,8 @@ fi
 if [ -f runs/prf_ext50k/DONE ]; then
   q() { local out="$1"; shift
     [ -s "$out" ] && return
+    # evals may start up to 90 min past the train deadline, no later
+    [ "$(date +%s)" -ge $(( DEADLINE + 5400 )) ] && return
     timeout 3600 python tools/quality_eval.py \
       --checkpoint runs/prf_ext50k/checkpoints \
       --preset config3_prf_extended --set model.dtype=bfloat16 "$@" \
