@@ -65,6 +65,17 @@ class ModelConfig:
                                    # ~20 GB/s layout copies the transpose
                                    # lowers to — ops/pixel_shuffle.py
                                    # space_to_depth_conv). A/B surface.
+                                   # Measured round 3: LOST 3.4% (XLA adds
+                                   # new layout copies around the Cin=3
+                                   # conv) — kept as the recorded negative.
+    s2d_pallas: bool = False       # pack via the Pallas VMEM relayout
+                                   # kernel (ops/pallas/s2d_pack.py): one
+                                   # HBM read + one write per block, the
+                                   # row interleave done by VPU shuffles —
+                                   # the "hand-written kernel per handoff"
+                                   # the round-3 non-conv analysis named as
+                                   # the only remaining lever. A/B surface;
+                                   # bit-exact.
     use_pallas_lstm: bool = False  # fused Pallas kernel for the ConvLSTM gate
                                    # math (ops/pallas/lstm_gates.py) instead
                                    # of XLA's fusion — benchable A/B surface

@@ -72,7 +72,7 @@ class StreamingSession:
         ``drain()`` (blocks for in-flight).  push() returns []."""
         import functools
 
-        from bin_tpu.ops.pixel_shuffle import space_to_depth
+        from bin_tpu.ops.pixel_shuffle import input_pack_fn
 
         self.model = model
         self._plan = plan
@@ -91,13 +91,14 @@ class StreamingSession:
 
         f = model.cfg.stem_factor
         dt = jnp.dtype(model.cfg.dtype)
+        pack = input_pack_fn(model.cfg)
 
         def ingest(frame: jax.Array) -> jax.Array:
             # uint8 frames (what a video decoder actually produces) are
             # normalized ON DEVICE: 4x less host→device traffic per key.
             if frame.dtype == jnp.uint8:
                 frame = frame.astype(jnp.float32) / 255.0
-            return space_to_depth(frame.astype(dt), f)
+            return pack(frame.astype(dt), f)
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def _insert(frame, stack):

@@ -122,14 +122,14 @@ class BINPyramid(nn.Module):
         Charbonnier loss and PSNR are pointwise and can consume packed
         frames directly (see backbone.py for why packing stays internal).
         """
-        from bin_tpu.ops.pixel_shuffle import space_to_depth, space_to_depth_conv
+        from bin_tpu.ops.pixel_shuffle import input_pack_fn
 
         c = self.cfg
         if window.shape[-1] == 3:
             # cast BEFORE packing: the space-to-depth transpose of a bf16
             # tensor is ~10x cheaper than fp32 (measured; the head conv
             # casts to the compute dtype anyway)
-            s2d = space_to_depth_conv if c.s2d_via_conv else space_to_depth
+            s2d = input_pack_fn(c)
             window = s2d(window.astype(jnp.dtype(c.dtype)), c.stem_factor)
         b, k, h, w, _ = window.shape
         if k != c.window_size:

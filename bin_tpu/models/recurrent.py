@@ -37,7 +37,7 @@ def num_windows(num_keys: int, window_size: int) -> int:
 
 def scan_windows(apply_fn: Callable, params: Any, blurry: jax.Array,
                  init_states: list, window_size: int, stem_factor: int = 1,
-                 compute_dtype: Any = None):
+                 compute_dtype: Any = None, pack_fn: Callable | None = None):
     """Run the pyramid over every sliding window of a clip.
 
     apply_fn(params, window, states) -> (outputs, new_states)
@@ -58,7 +58,7 @@ def scan_windows(apply_fn: Callable, params: Any, blurry: jax.Array,
         # cast-then-pack: bf16 transposes are ~10x cheaper than fp32, and
         # the backbone casts its inputs to the compute dtype regardless
         blurry = blurry.astype(compute_dtype)
-    blurry = space_to_depth(blurry, stem_factor)
+    blurry = (pack_fn or space_to_depth)(blurry, stem_factor)
 
     def body(states, start):
         window = jax.lax.dynamic_slice_in_dim(blurry, start, window_size, axis=1)
@@ -80,7 +80,7 @@ def clip_loss(apply_fn: Callable, params: Any, blurry: jax.Array,
     apply_fn for long clips).
     """
     from bin_tpu.losses import pyramid_loss
-    from bin_tpu.ops.pixel_shuffle import space_to_depth
+    from bin_tpu.ops.pixel_shuffle import input_pack_fn, space_to_depth
 
     k = model_cfg.window_size
     n = num_windows(blurry.shape[1], k)
@@ -91,8 +91,9 @@ def clip_loss(apply_fn: Callable, params: Any, blurry: jax.Array,
     # is cast to the compute dtype BEFORE packing (cheap bf16 transpose);
     # the GT stays fp32 — the loss accumulates in fp32.
     f = model_cfg.stem_factor
-    blurry = space_to_depth(blurry.astype(jnp.dtype(model_cfg.dtype)), f)
-    sharp = space_to_depth(sharp, f)
+    pack = input_pack_fn(model_cfg)
+    blurry = pack(blurry.astype(jnp.dtype(model_cfg.dtype)), f)
+    sharp = pack(sharp, f)
 
     if model_cfg.remat:
         # Recompute each window's activations during backward: training

@@ -15,7 +15,22 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["space_to_depth", "depth_to_space", "space_to_depth_conv"]
+__all__ = ["space_to_depth", "depth_to_space", "space_to_depth_conv",
+           "input_pack_fn"]
+
+
+def input_pack_fn(model_cfg):
+    """The configured space-to-depth implementation (A/B surfaces):
+    reshape/transpose (default, XLA), one-hot strided conv
+    (``s2d_via_conv`` — measured -3.4%, kept as the recorded negative),
+    or the Pallas VMEM relayout kernel (``s2d_pallas`` — targets the
+    ~20 GB/s layout copies, ops/pallas/s2d_pack.py). All bit-exact."""
+    if getattr(model_cfg, "s2d_pallas", False):
+        from bin_tpu.ops.pallas.s2d_pack import space_to_depth_pallas
+        return space_to_depth_pallas
+    if getattr(model_cfg, "s2d_via_conv", False):
+        return space_to_depth_conv
+    return space_to_depth
 
 
 def space_to_depth(x: jax.Array, factor: int) -> jax.Array:

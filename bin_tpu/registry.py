@@ -89,10 +89,12 @@ class Model:
         per-level outputs, final ConvLSTM states)."""
         b, _, h, w, _ = blurry.shape
         states = self.initial_state(b, h, w)
+        from bin_tpu.ops.pixel_shuffle import input_pack_fn
         return recurrent.scan_windows(self._infer_apply_fn, params, blurry,
                                       states, self.cfg.window_size,
                                       self.cfg.stem_factor,
-                                      compute_dtype=jnp.dtype(self.cfg.dtype))
+                                      compute_dtype=jnp.dtype(self.cfg.dtype),
+                                      pack_fn=input_pack_fn(self.cfg))
 
     def infer_clip(self, params: Any, blurry: jax.Array):
         """Full joint deblur + 2x interpolation of a clip.
