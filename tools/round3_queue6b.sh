@@ -55,5 +55,16 @@ if [ -f runs/prf_ext50k/DONE ]; then
   q runs/prf_ext50k/quality_352x640_ema.txt --ema --size 352 640
   q runs/prf_ext50k/quality_256_ema_int8mc256.txt --ema \
     --set model.conv_int8=true --set model.conv_int8_min_cin=256
+  # Export the EMA params as a released-weights candidate so the artifact
+  # exists even if no interactive session is around when evals finish
+  # (promotion to quality-of-record happens manually, after reading them).
+  if [ ! -s weights/prf_ext50k_ema_r3.npz ]; then
+    timeout 900 bin-tpu-export \
+      --preset config3_prf_extended \
+      --checkpoint runs/prf_ext50k/checkpoints \
+      --out weights/prf_ext50k_ema_r3.npz --ema \
+      --note "50k-step extended preset (gradient perceptual w=0.5 + EMA 0.999), textured benchmark" \
+      >> "$LOG" 2>&1; step "export_ext50k_ema" $?
+  fi
 fi
 echo "=== queue6b end $(date -u)" >> "$LOG"
