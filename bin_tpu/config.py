@@ -131,7 +131,9 @@ class DataConfig:
     # Pinned eval protocol (fixed clip count/length per preset so quality
     # numbers are comparable across rounds/runs — VERDICT r1 item 10):
     eval_num_clips: int = 16       # clips per eval pass
-    eval_num_keys: int = 12        # blurry keys per eval clip
+    eval_num_keys: int = 12        # blurry keys per eval clip; 0 = whole
+                                   # clips (folder datasets only — the
+                                   # GoPro full-sequence protocol [P])
     eval_seed: int = 9999          # synthetic eval stream seed (held out
                                    # from training seeds)
     seq_len: int = 4               # key frames per training sample

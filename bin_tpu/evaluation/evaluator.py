@@ -141,7 +141,17 @@ def evaluate_cli(cfg: Config, checkpoint: str = "", num_clips: int | None = None
     num_clips = num_clips if num_clips is not None else cfg.data.eval_num_clips
     if num_clips <= 0:
         raise ValueError(f"num_clips must be positive, got {num_clips}")
-    num_keys = max(cfg.data.eval_num_keys, cfg.model.window_size + 2)
+    # eval_num_keys == 0 → whole clips (the GoPro full-sequence protocol
+    # [P]); only folder datasets have a natural clip length, so the
+    # synthetic stream keeps its pinned finite length.
+    whole_clips = (cfg.data.eval_num_keys == 0
+                   and cfg.data.dataset != "synthetic" and bool(cfg.data.root))
+    if cfg.data.eval_num_keys == 0 and not whole_clips:
+        raise ValueError(
+            "data.eval_num_keys=0 (whole clips) needs a folder dataset: "
+            "set data.root (and data.dataset != 'synthetic')")
+    num_keys = None if whole_clips else max(
+        cfg.data.eval_num_keys, cfg.model.window_size + 2)
     # Self-documenting protocol line (VERDICT r2 weak #5: the headline eval
     # once ran off-protocol with nothing in the output recording it).
     from bin_tpu.config import PRESETS
@@ -151,8 +161,8 @@ def evaluate_cli(cfg: Config, checkpoint: str = "", num_clips: int | None = None
     if cfg.preset in PRESETS and (h, w) != PRESETS[cfg.preset]().data.eval_size:
         off.append("eval_size")
     print(f"eval protocol: preset={cfg.preset} size={h}x{w} "
-          f"clips={num_clips} keys={num_keys} seed={cfg.data.eval_seed} "
-          f"dtype={cfg.model.dtype}"
+          f"clips={num_clips} keys={'whole' if whole_clips else num_keys} "
+          f"seed={cfg.data.eval_seed} dtype={cfg.model.dtype}"
           + (f" [OFF-PROTOCOL: {','.join(off)}]" if off else ""))
     if cfg.data.dataset == "synthetic" or not cfg.data.root:
         source = SyntheticSource(num_samples=num_clips, num_keys=num_keys,

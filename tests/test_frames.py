@@ -115,3 +115,33 @@ def test_clip_list_errors(tree, tmp_path):
     empty.write_text("# nothing\n")
     with pytest.raises(ValueError, match="empty"):
         FrameFolderSource(str(dst), clip_list=str(empty))
+
+
+def test_eval_cli_whole_clips(tree, capsys):
+    """data.eval_num_keys=0 → whole-sequence eval (the GoPro protocol)."""
+    from bin_tpu.config import apply_overrides, get_config
+    from bin_tpu.evaluation.evaluator import evaluate_cli
+
+    _, dst = tree
+    cfg = apply_overrides(get_config("config1_backbone_128"), {
+        "model.base_features": 8, "model.num_res_blocks": 1,
+        "data.dataset": "adobe240", "data.root": str(dst),
+        "data.eval_num_keys": 0, "data.eval_size": (24, 32),
+    })
+    results = evaluate_cli(cfg)  # random-init weights: metrics just finite
+    out = capsys.readouterr().out
+    assert "keys=whole" in out
+    assert "mean over 2 clips" in out  # clipA (4 keys) + clipB (5 keys)
+    assert np.isfinite(results["psnr_overall"])
+
+
+def test_eval_cli_whole_clips_needs_folder_dataset():
+    from bin_tpu.config import apply_overrides, get_config
+    from bin_tpu.evaluation.evaluator import evaluate_cli
+
+    cfg = apply_overrides(get_config("config1_backbone_128"), {
+        "model.base_features": 8, "data.eval_num_keys": 0,
+        "data.eval_size": (16, 16),
+    })
+    with pytest.raises(ValueError, match="whole clips"):
+        evaluate_cli(cfg)
