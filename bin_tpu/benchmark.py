@@ -85,9 +85,16 @@ def wait_for_device(deadline_s: float = 1800.0, probe_timeout_s: float = 300.0):
                 "p = os.environ.get('JAX_PLATFORMS', '')\n"
                 "if p: jax.config.update('jax_platforms', p)\n"
                 "print(jax.devices()[0].platform)\n")
+            # clamp each probe to the time left (plus slack), so a small
+            # --device-wait really bounds the wall clock even when the
+            # first probe wedges; floor of 20 s lets a healthy backend
+            # finish its ~15 s tunnel init.
+            this_timeout = max(
+                20.0, min(probe_timeout_s,
+                          deadline_s - (time.monotonic() - t0) + 5.0))
             r = subprocess.run(
                 [sys.executable, "-c", probe_code],
-                timeout=probe_timeout_s, capture_output=True, text=True,
+                timeout=this_timeout, capture_output=True, text=True,
                 env=os.environ.copy())
             if r.returncode == 0:
                 if attempt > 1:
@@ -97,7 +104,7 @@ def wait_for_device(deadline_s: float = 1800.0, probe_timeout_s: float = 300.0):
             err = (r.stderr or "").strip().splitlines()
             err = err[-1] if err else "?"
         except subprocess.TimeoutExpired:
-            err = f"probe wedged >{probe_timeout_s:.0f}s (killed)"
+            err = f"probe wedged >{this_timeout:.0f}s (killed)"
         waited = time.monotonic() - t0
         if waited >= deadline_s:
             log(f"device still unavailable after {waited:.0f}s: {err}")
@@ -205,8 +212,36 @@ def main(argv=None):
                         "down/wedged between sessions; 0 = no wait)")
     args = p.parse_args(argv)
 
-    wait_for_device(args.device_wait)
+    ok = wait_for_device(args.device_wait)
+    try:
+        if not ok:
+            # The bounded probe says the backend is down; proceeding into
+            # jax.devices() on a WEDGED tunnel blocks unkillably long (the
+            # second observed failure mode) and would end the process with
+            # no output at all. Fail fast into the error record instead.
+            raise RuntimeError(
+                f"accelerator backend unavailable after bounded "
+                f"{args.device_wait:.0f}s wait (probe timeout/error)")
+        _run(args)
+    except Exception as e:
+        # The driver records bench.py's one JSON line; if the backend is
+        # still down at round end (observed: multi-hour tunnel outages,
+        # BASELINE.md) dying with no line loses the round's record
+        # entirely. Emit an honest zero-value record naming the failure,
+        # then still exit nonzero with the real traceback.
+        record = {
+            "metric": "frames/sec/chip @ 720p joint deblur + 2x interp",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:400],
+            "detail": {"device_wait_succeeded": bool(ok)},
+        }
+        print(json.dumps(record), flush=True)
+        raise
 
+
+def _run(args):
     import jax
     import jax.numpy as jnp
     from bin_tpu.config import get_config, apply_overrides

@@ -53,3 +53,24 @@ def test_wait_for_device_gives_up_at_deadline():
 
 def test_wait_for_device_disabled():
     assert wait_for_device(deadline_s=0) is True
+
+
+def test_main_emits_error_record_on_failure(monkeypatch, capsys):
+    """If the bench body dies (e.g. backend still down at round end), main
+    must still print its one JSON line — an honest zero-value record with
+    the error named — and re-raise."""
+    import json
+
+    from bin_tpu import benchmark
+
+    def boom(args):
+        raise RuntimeError("FAILED_PRECONDITION: backend unavailable")
+
+    monkeypatch.setattr(benchmark, "_run", boom)
+    with pytest.raises(RuntimeError, match="backend unavailable"):
+        benchmark.main(["--device-wait", "0"])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    record = json.loads(lines[-1])
+    assert record["value"] == 0.0
+    assert "backend unavailable" in record["error"]
+    assert record["metric"].startswith("frames/sec/chip")
