@@ -18,6 +18,18 @@ DEADLINE="${QUEUE6B_DEADLINE:-1787036400}"
 echo "=== queue6b start $(date -u) (deadline $(date -u -d @$DEADLINE))" >> "$LOG"
 step() { echo "--- $1 rc=$2 $(date -u)" >> "$LOG"; }
 
+# Late-arrival priority swap: if the tunnel came back with <4 h to the
+# train deadline, the 50k run can only be partial — run the QUICK
+# deliverable first (queue7's s2d_pallas bench A/B, two 1 h-bounded
+# arms, idempotent) so it isn't starved by a train run that can't
+# finish anyway.  Early arrival keeps train-first order (the A/B then
+# runs in the post-train window, well before its own 05:45 deadline).
+LATE_CUTOFF=$(( DEADLINE - 14400 ))
+if [ "$(date +%s)" -ge "$LATE_CUTOFF" ]; then
+  echo "--- late tunnel return: running queue7 A/B first $(date -u)" >> "$LOG"
+  bash tools/round3_queue7.sh
+fi
+
 if [ ! -f runs/prf_ext50k/DONE ]; then
   for attempt in 1 2 3; do
     if [ "$(date +%s)" -ge "$DEADLINE" ]; then
@@ -41,7 +53,16 @@ if [ ! -f runs/prf_ext50k/DONE ]; then
   done
 fi
 
-if [ -f runs/prf_ext50k/DONE ]; then
+# Best-effort evals: a partial run (deadline hit mid-train) still
+# produces an extended-run data point — evaluate the LATEST checkpoint
+# (restore_params picks it) and record the step it reached, rather than
+# gating everything on the full 50k having finished.
+LATEST=$(ls -1 runs/prf_ext50k/checkpoints 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1)
+if [ -n "${LATEST:-}" ]; then
+  if [ ! -f runs/prf_ext50k/DONE ]; then
+    echo "--- PARTIAL run: evals at step $LATEST / 50000 $(date -u)" >> "$LOG"
+    echo "$LATEST" > runs/prf_ext50k/PARTIAL_STEP
+  fi
   q() { local out="$1"; shift
     [ -s "$out" ] && return
     # evals may start up to 90 min past the train deadline, no later
@@ -49,7 +70,7 @@ if [ -f runs/prf_ext50k/DONE ]; then
     timeout 3600 python tools/quality_eval.py \
       --checkpoint runs/prf_ext50k/checkpoints \
       --preset config3_prf_extended --set model.dtype=bfloat16 "$@" \
-      > "$out" 2>&1; step "$(basename $out)" $?; }
+      > "$out" 2>&1; step "$(basename $out)@step$LATEST" $?; }
   q runs/prf_ext50k/quality_256.txt
   q runs/prf_ext50k/quality_256_ema.txt --ema
   q runs/prf_ext50k/quality_352x640_ema.txt --ema --size 352 640
@@ -58,12 +79,14 @@ if [ -f runs/prf_ext50k/DONE ]; then
   # Export the EMA params as a released-weights candidate so the artifact
   # exists even if no interactive session is around when evals finish
   # (promotion to quality-of-record happens manually, after reading them).
-  if [ ! -s weights/prf_ext50k_ema_r3.npz ]; then
+  # Partial runs export too once past 10k steps — enough training to be a
+  # meaningful artifact; the card note records the actual step.
+  if [ ! -s weights/prf_ext50k_ema_r3.npz ] && [ "$LATEST" -ge 10000 ]; then
     timeout 900 bin-tpu-export \
       --preset config3_prf_extended \
       --checkpoint runs/prf_ext50k/checkpoints \
       --out weights/prf_ext50k_ema_r3.npz --ema \
-      --note "50k-step extended preset (gradient perceptual w=0.5 + EMA 0.999), textured benchmark" \
+      --note "extended preset (gradient perceptual w=0.5 + EMA 0.999), textured benchmark, step $LATEST of 50000" \
       >> "$LOG" 2>&1; step "export_ext50k_ema" $?
   fi
 fi
