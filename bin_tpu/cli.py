@@ -7,8 +7,25 @@ Implemented progressively; each entry point parses ``--preset`` plus dotted
 from __future__ import annotations
 
 import argparse
+import os
 
 from bin_tpu.config import PRESETS, Config, get_config
+
+
+def _apply_platform(platform: str | None) -> None:
+    """Force a JAX backend IN-PROCESS, before any device touch.
+
+    This environment ignores the ``JAX_PLATFORMS`` shell env var (observed:
+    exporting it has no effect; `bin_tpu/benchmark.py:wait_for_device` hit
+    the same trap), so a CPU-only drive of the CLIs would otherwise grab the
+    real TPU tunnel — which can wedge for >10 min when the axon backend is
+    down.  ``--platform cpu`` (or env ``BIN_TPU_PLATFORM=cpu``) is the
+    supported way to keep a CLI run off the chip.
+    """
+    platform = platform or os.environ.get("BIN_TPU_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
 
 
 def _base_parser(description: str) -> argparse.ArgumentParser:
@@ -17,6 +34,10 @@ def _base_parser(description: str) -> argparse.ArgumentParser:
                    choices=sorted(PRESETS), help="named config preset")
     p.add_argument("--set", dest="overrides", action="append", default=[],
                    metavar="KEY=VALUE", help="dotted config override, repeatable")
+    p.add_argument("--platform", default=None, metavar="BACKEND",
+                   help="force the JAX backend in-process (e.g. cpu) — the "
+                        "JAX_PLATFORMS env var is ignored on this host; "
+                        "env fallback: BIN_TPU_PLATFORM")
     return p
 
 
@@ -26,6 +47,7 @@ def parse_config(argv: list[str] | None, description: str,
     for name, kwargs in (extra_args or {}).items():
         p.add_argument(name, **kwargs)
     args = p.parse_args(argv)
+    _apply_platform(args.platform)
     cfg = get_config(args.preset, args.overrides)
     return cfg, args
 
@@ -105,7 +127,10 @@ def demo_main(argv: list[str] | None = None) -> None:
     p.add_argument("--size", type=int, nargs=2, default=(256, 256),
                    metavar=("H", "W"), help="synthetic input size")
     p.add_argument("--keys", type=int, default=10, help="synthetic clip keys")
+    p.add_argument("--platform", default=None, metavar="BACKEND",
+                   help="force the JAX backend in-process (e.g. cpu)")
     args = p.parse_args(argv)
+    _apply_platform(args.platform)
 
     from bin_tpu.evaluation.evaluator import save_clip_frames
     from bin_tpu.registry import build_model
