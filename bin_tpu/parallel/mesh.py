@@ -73,9 +73,27 @@ def make_mesh(cfg: ParallelConfig | None = None,
                     spatial_axis=cfg.axis_names[1])
 
 
+def _spans_processes(plan: MeshPlan) -> bool:
+    """True when the mesh contains devices this process cannot address —
+    the multi-host case, where plain device_put of host data cannot build
+    the global array and jax.make_array_from_process_local_data must."""
+    return any(d.process_index != jax.process_index()
+               for d in plan.mesh.devices.flat)
+
+
 def replicated(plan: MeshPlan, tree: Any) -> Any:
-    """Device-put a pytree fully replicated over the mesh."""
-    return jax.device_put(tree, plan.replicated())
+    """Put a pytree fully replicated over the mesh.
+
+    Multi-host: every process must hold identical host values (deterministic
+    init from the same seed, or a broadcast checkpoint restore) — each
+    contributes its addressable replicas of the global array.
+    """
+    sharding = plan.replicated()
+    if _spans_processes(plan):
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
+    return jax.device_put(tree, sharding)
 
 
 def batch_sharding(plan: MeshPlan, ndim: int) -> NamedSharding:
@@ -83,7 +101,17 @@ def batch_sharding(plan: MeshPlan, ndim: int) -> NamedSharding:
 
 
 def shard_batch(plan: MeshPlan, batch: Any) -> Any:
-    """Device-put a host batch pytree with the leading dim sharded over
-    'data' (the host→device boundary of the input pipeline)."""
+    """Put a host batch pytree with the leading dim sharded over 'data'
+    (the host→device boundary of the input pipeline).
+
+    Multi-host: ``batch`` is this process's LOCAL slice (global batch /
+    process_count rows, in process_index order — see
+    bin_tpu.parallel.distributed.process_batch_slice); the global array is
+    assembled across processes without any cross-host data movement.
+    """
+    if _spans_processes(plan):
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                plan.batch(np.ndim(x)), np.asarray(x)), batch)
     return jax.tree.map(
         lambda x: jax.device_put(x, plan.batch(np.ndim(x))), batch)

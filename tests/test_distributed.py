@@ -1,0 +1,86 @@
+"""REAL multi-process distributed test: 2 OS processes x 2 fake CPU devices
+each, joined by jax.distributed.initialize into a 4-device global mesh.
+
+This exercises what the in-process 8-fake-device tests cannot: coordinator
+handshake, cross-process collectives (Gloo — the CPU stand-in for DCN),
+jax.make_array_from_process_local_data assembly in mesh.shard_batch /
+replicated, and process_batch_slice.  The reference has no multi-node story
+at all (single-process DataParallel, SURVEY.md §6.8) — this validates the
+TPU-native upgrade path end to end.
+"""
+
+import dataclasses
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "dist_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def worker_results(tmp_path_factory):
+    port = _free_port()
+    tmp = tmp_path_factory.mktemp("dist")
+    outs = [str(tmp / f"rank{i}.json") for i in range(2)]
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(port), str(i), outs[i]],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(2)]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed worker timed out (420s)")
+        logs.append(out)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, \
+            f"rank {i} failed (rc={p.returncode}):\n{logs[i][-3000:]}"
+    return [json.load(open(o)) for o in outs]
+
+
+def test_ranks_agree_bitwise(worker_results):
+    r0, r1 = worker_results
+    assert r0["loss_total"] == r1["loss_total"]
+    assert r0["param_digest"] == r1["param_digest"]
+
+
+def test_matches_single_process_step(worker_results):
+    """The 2-process 4-device DP step must equal the plain single-process
+    step on the same global batch (same contract as
+    test_parallel.test_data_parallel_step_matches_single_device)."""
+    from bin_tpu.registry import build_model
+    from bin_tpu.training.state import create_train_state
+    from bin_tpu.training.trainer import make_train_step
+    from tests.dist_worker import global_batch, tiny_cfg
+
+    cfg = tiny_cfg()
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.key(0))
+    batch = global_batch(cfg)
+    step = make_train_step(model, cfg)
+    _, aux = step(state, jax.tree.map(jnp.asarray, batch))
+    np.testing.assert_allclose(worker_results[0]["loss_total"],
+                               float(aux["loss_total"]), rtol=1e-5)
+
+
+def test_process_batch_slice_single_process():
+    from bin_tpu.parallel.distributed import process_batch_slice
+    assert process_batch_slice(8) == (8, 0)
