@@ -1,0 +1,153 @@
+"""HTTP serving daemon (bin_tpu/serving/server.py).
+
+Drives the real ThreadingHTTPServer over a socket with http.client: the
+frames delivered over HTTP must equal the frames a directly-driven
+StreamingSession produces for the same weights and inputs (u8, CPU —
+bit-exact)."""
+
+import dataclasses
+import http.client
+import json
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from bin_tpu.config import get_config
+from bin_tpu.evaluation.streaming import StreamingSession
+from bin_tpu.registry import build_model
+from bin_tpu.serving.server import FrameServer, make_http_server
+
+H = W = 32
+NUM_KEYS = 7
+
+
+def _tiny_model():
+    cfg = get_config("config2_pyramid")
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, base_features=8,
+                                       num_res_blocks=1))
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0), batch=1, height=H, width=W)
+    return model, params
+
+
+def _frames(n=NUM_KEYS):
+    rng = np.random.default_rng(3)
+    return [rng.integers(0, 255, (H, W, 3), np.uint8) for _ in range(n)]
+
+
+@pytest.fixture(scope="module")
+def served():
+    model, params = _tiny_model()
+    server = FrameServer(model, params, max_streams=2)
+    httpd = make_http_server(server, "127.0.0.1", 0)  # ephemeral port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield model, params, httpd.server_address[1]
+    httpd.shutdown()
+
+
+def _parse_frames(resp):
+    n = int(resp.getheader("X-Frame-Count"))
+    times = resp.getheader("X-Times")
+    h, w = int(resp.getheader("X-Height")), int(resp.getheader("X-Width"))
+    body = resp.read()
+    frames = np.frombuffer(body, np.uint8).reshape(n, h, w, 3) if n else \
+        np.zeros((0, h, w, 3), np.uint8)
+    ts = [int(x) for x in times.split(",")] if times else []
+    return list(zip(ts, frames))
+
+
+def test_http_stream_matches_direct_session(served):
+    model, params, port = served
+    frames = _frames()
+
+    # reference: direct session, identical mode flags to the server's
+    ref = StreamingSession(model, params, batch=1, height=H, width=W,
+                           emit_u8=True, async_drain=True)
+    for f in frames:
+        ref.push(f[None])
+    ref.flush()
+    want = {t: f[0] for t, f in ref.drain()}
+    assert len(want) >= NUM_KEYS  # 2x rate minus window latency
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", "/v1/streams",
+                 body=json.dumps({"height": H, "width": W}))
+    resp = conn.getresponse()
+    assert resp.status == 201
+    sid = json.loads(resp.read())["id"]
+
+    got = {}
+    for f in frames:
+        conn.request("POST", f"/v1/streams/{sid}/frames", body=f.tobytes())
+        resp = conn.getresponse()
+        assert resp.status == 200
+        got.update({t: fr for t, fr in _parse_frames(resp)})
+    conn.request("POST", f"/v1/streams/{sid}/close")
+    resp = conn.getresponse()
+    assert resp.status == 200
+    got.update({t: fr for t, fr in _parse_frames(resp)})
+
+    assert sorted(got) == sorted(want)
+    for t in want:
+        np.testing.assert_array_equal(got[t], want[t])
+    conn.close()
+
+
+def test_http_errors_and_health(served):
+    _, _, port = served
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+
+    conn.request("GET", "/healthz")
+    health = json.loads(conn.getresponse().read())
+    assert health["status"] == "ok" and health["platform"] == "cpu"
+
+    conn.request("POST", "/v1/streams/doesnotexist/frames", body=b"x")
+    resp = conn.getresponse()
+    assert resp.status == 404
+    resp.read()
+
+    conn.request("POST", "/v1/streams",
+                 body=json.dumps({"height": H, "width": W}))
+    sid = json.loads(conn.getresponse().read())["id"]
+    conn.request("POST", f"/v1/streams/{sid}/frames", body=b"short")
+    resp = conn.getresponse()
+    assert resp.status == 400
+    assert "expected" in json.loads(resp.read())["error"]
+
+    # size not divisible by the model's downsampling factor
+    conn.request("POST", "/v1/streams",
+                 body=json.dumps({"height": 30, "width": 30}))
+    resp = conn.getresponse()
+    assert resp.status == 400
+    resp.read()
+
+    conn.request("POST", f"/v1/streams/{sid}/close")
+    resp = conn.getresponse()
+    assert resp.status == 200
+    resp.read()
+    conn.close()
+
+
+def test_stream_limit(served):
+    _, _, port = served
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    sids = []
+    for _ in range(2):
+        conn.request("POST", "/v1/streams",
+                     body=json.dumps({"height": H, "width": W}))
+        resp = conn.getresponse()
+        assert resp.status == 201
+        sids.append(json.loads(resp.read())["id"])
+    conn.request("POST", "/v1/streams",
+                 body=json.dumps({"height": H, "width": W}))
+    resp = conn.getresponse()
+    assert resp.status == 400
+    assert "limit" in json.loads(resp.read())["error"]
+    for sid in sids:
+        conn.request("POST", f"/v1/streams/{sid}/close")
+        conn.getresponse().read()
+    conn.close()
