@@ -53,6 +53,13 @@ class ModelConfig:
                                    # hold the FLOPs (and took int8 well in
                                    # the microbench); the high-res narrow
                                    # convs hold the fine detail.
+    conv_int8_qat: bool = False    # quantization-aware TRAINING: fake-quant
+                                   # (same quantizer as conv_int8, straight-
+                                   # through grads) on the conv set selected
+                                   # by conv_int8_min_cin.  Recipe: fine-tune
+                                   # a trained checkpoint with this on, then
+                                   # serve with conv_int8=true at the same
+                                   # scope (ops/quant.py:fake_quant_conv).
     fused_upsample: bool = True    # decoder upsample-conv as one phase-bank
                                    # conv (ops/fused_upsample.py); False =
                                    # unfused upsample-then-conv (identical

@@ -49,6 +49,10 @@ class Backbone(nn.Module):
                                    # tail + context_proj stay float — see
                                    # ops/quant.py)
     conv_int8_min_cin: int = 0     # quantize only convs with Cin >= this
+    conv_int8_qat: bool = False    # TRAINING-time fake-quant (STE) on the
+                                   # same conv set: fine-tune to absorb the
+                                   # int8 deployment error (overrides
+                                   # conv_int8's op choice, same scoping)
 
     @nn.compact
     def __call__(self, frame_a: jax.Array, frame_b: jax.Array,
@@ -69,7 +73,8 @@ class Backbone(nn.Module):
         chans = [self.base_features * m for m in self.channel_mult]
         x = jnp.concatenate([frame_a, frame_b], axis=-1).astype(self.dtype)
 
-        q, qmc = self.conv_int8, self.conv_int8_min_cin
+        q = "qat" if self.conv_int8_qat else self.conv_int8
+        qmc = self.conv_int8_min_cin
         x = ConvBlock(chans[0], self.slope, dtype=self.dtype,
                       param_dtype=self.param_dtype, quant=q,
                       quant_min_cin=qmc, name="head")(x)

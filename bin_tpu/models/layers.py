@@ -44,15 +44,20 @@ def _conv3x3_maybe_quant(x, features, *, strides=1, dtype, param_dtype,
     count is at least that wide (static shape, resolved at trace time):
     the deep wide convs hold the FLOPs, the high-res narrow convs hold the
     fine detail, so the threshold is a quality/speed dial (BASELINE.md
-    round-3 int8 table)."""
+    round-3 int8 table).
+
+    ``quant`` modes: False = plain conv; True = deployed int8 PTQ conv;
+    "qat" = training-time fake-quant conv (same quantizer, straight-through
+    gradients — ops/quant.py:fake_quant_conv) so a fine-tune learns the
+    deployment quantization error."""
     if not quant or x.shape[-1] < quant_min_cin:
         return conv3x3(features, strides=strides, dtype=dtype,
                        param_dtype=param_dtype, name=name)(x)
-    from bin_tpu.ops.quant import int8_conv
+    from bin_tpu.ops.quant import fake_quant_conv, int8_conv
     kernel, bias = _ConvParams((3, 3, x.shape[-1], features),
                                param_dtype, name=name)()
-    return int8_conv(x, kernel, bias,
-                     strides=(strides, strides)).astype(dtype)
+    conv = fake_quant_conv if quant == "qat" else int8_conv
+    return conv(x, kernel, bias, strides=(strides, strides)).astype(dtype)
 
 
 class ConvBlock(nn.Module):
@@ -63,7 +68,7 @@ class ConvBlock(nn.Module):
     strides: int = 1
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
-    quant: bool = False
+    quant: Any = False  # False | True (int8 PTQ) | "qat" (fake-quant)
     quant_min_cin: int = 0
 
     @nn.compact
@@ -85,7 +90,7 @@ class ResBlock(nn.Module):
     slope: float = 0.1
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
-    quant: bool = False
+    quant: Any = False  # False | True (int8 PTQ) | "qat" (fake-quant)
     quant_min_cin: int = 0
 
     @nn.compact
@@ -111,7 +116,7 @@ class Downsample(nn.Module):
     slope: float = 0.1
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
-    quant: bool = False
+    quant: Any = False  # False | True (int8 PTQ) | "qat" (fake-quant)
     quant_min_cin: int = 0
 
     @nn.compact

@@ -85,6 +85,7 @@ class BINPyramid(nn.Module):
                      param_dtype=pdtype, fused_upsample=c.fused_upsample,
                      conv_int8=c.conv_int8,
                      conv_int8_min_cin=c.conv_int8_min_cin,
+                     conv_int8_qat=c.conv_int8_qat,
                      name=f"level_{l}")
             for l in range(1, n + 1)
         ]

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["int8_conv", "quantize_symmetric"]
+__all__ = ["int8_conv", "quantize_symmetric", "fake_quant", "fake_quant_conv"]
 
 
 def quantize_symmetric(x: jax.Array, axis=None) -> tuple[jax.Array, jax.Array]:
@@ -35,6 +35,48 @@ def quantize_symmetric(x: jax.Array, axis=None) -> tuple[jax.Array, jax.Array]:
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
     return q.astype(jnp.int8), scale
+
+
+def fake_quant(x: jax.Array, axis=None) -> jax.Array:
+    """Quantize-dequantize with a straight-through gradient (QAT).
+
+    Forward applies EXACTLY the quantizer of ``quantize_symmetric`` /
+    ``int8_conv`` (dynamic abs-max scale, round, clip to ±127) and returns
+    the dequantized value; backward passes gradients straight through the
+    round/clip (the scale is stop-gradient'd — plain STE, no learned-scale
+    machinery).  Training with this in the conv path teaches the weights to
+    live with deployment quantization error instead of paying it post hoc.
+    """
+    xf = x.astype(jnp.float32)
+    amax = lax.stop_gradient(
+        jnp.max(jnp.abs(xf), axis=axis, keepdims=axis is not None))
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    qdq = jnp.clip(jnp.round(xf / scale), -127, 127) * scale
+    return (xf + lax.stop_gradient(qdq - xf)).astype(x.dtype)
+
+
+def fake_quant_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
+                    strides: tuple[int, int] = (1, 1),
+                    padding: str = "SAME") -> jax.Array:
+    """QAT twin of ``int8_conv``: conv of fake-quantized activations and
+    per-output-channel fake-quantized weights, fp32 accumulation.
+
+    Numerics: q_x·s_x ⊛ q_k·s_k = (q_x ⊛ q_k)·s_x·s_k, so the fp32 conv of
+    dequantized values equals the deployed int8 path's int32 conv wherever
+    the integer dot product fits fp32's 24-bit mantissa (always true for
+    the narrow convs; within ~1 ulp for the widest).  The conv runs in fp32
+    deliberately — a bf16 conv would round the 14-bit q·s products and
+    train against noise the int8 deployment does not have.  Output fp32;
+    cast at the call site.
+    """
+    qx = fake_quant(x)                       # per-tensor, dynamic
+    qk = fake_quant(kernel, axis=(0, 1, 2))  # per-output-channel
+    out = lax.conv_general_dilated(
+        qx.astype(jnp.float32), qk.astype(jnp.float32), strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out
 
 
 def int8_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,

@@ -101,3 +101,92 @@ def test_conv_int8_min_cin_scopes_quantization():
     assert np.abs(v_mid - v_all).max() > 0          # ...but not everything
     # scoped quantization is at least as close to float as all-int8
     assert np.abs(v_mid - vf).mean() <= np.abs(v_all - vf).mean()
+
+
+# ---- quantization-aware training (model.conv_int8_qat) ----------------------
+
+def test_fake_quant_conv_matches_int8_conv_forward():
+    """The QAT forward must simulate the deployed int8 path: same quantizer,
+    fp32 vs int32 accumulation (exact at these widths)."""
+    from bin_tpu.ops.quant import fake_quant_conv
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 12, 12, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 0.1, (3, 3, 8, 12)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.01, (12,)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(fake_quant_conv(x, k, b)),
+                               np.asarray(int8_conv(x, k, b)),
+                               rtol=0, atol=1e-5)
+
+
+def test_fake_quant_straight_through_gradient():
+    from bin_tpu.ops.quant import fake_quant
+    x = jnp.asarray(np.random.default_rng(5).normal(
+        0, 1, (6, 7)).astype(np.float32))
+    g = jax.grad(lambda v: jnp.sum(fake_quant(v)))(x)
+    np.testing.assert_array_equal(np.asarray(g), np.ones_like(x))
+    # and through the conv twin: every input gets a finite, nonzero gradient
+    from bin_tpu.ops.quant import fake_quant_conv
+    k = jnp.asarray(np.random.default_rng(6).normal(
+        0, 0.1, (3, 3, 4, 4)).astype(np.float32))
+    xx = jnp.asarray(np.random.default_rng(7).uniform(
+        -1, 1, (1, 8, 8, 4)).astype(np.float32))
+    gx, gk = jax.grad(
+        lambda a, w: jnp.sum(fake_quant_conv(a, w, None) ** 2),
+        argnums=(0, 1))(xx, k)
+    assert np.isfinite(np.asarray(gx)).all() and np.abs(gx).max() > 0
+    assert np.isfinite(np.asarray(gk)).all() and np.abs(gk).max() > 0
+
+
+def test_qat_model_forward_matches_deployed_int8():
+    """Full model: the QAT training graph's forward must track the int8
+    serving graph on the same params — what you train is what you ship."""
+    cfg_f = get_config("config3_prf", [
+        "model.base_features=8", "model.num_res_blocks=1",
+        "model.convlstm_features=16"])
+    mk = lambda **kw: build_model(dataclasses.replace(
+        cfg_f, model=dataclasses.replace(cfg_f.model, **kw)))
+    m_qat, m_int8 = mk(conv_int8_qat=True), mk(conv_int8=True)
+    params = mk().init(jax.random.key(0), height=32, width=32)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.key(8), len(leaves))
+    params = jax.tree_util.tree_unflatten(treedef, [
+        l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, keys)])
+    blurry = jnp.asarray(np.random.default_rng(9).uniform(
+        0, 1, (1, 6, 32, 32, 3)).astype(np.float32))
+    v_qat = np.asarray(m_qat.infer_clip(params, blurry)[0])
+    v_int8 = np.asarray(m_int8.infer_clip(params, blurry)[0])
+    v_f = np.asarray(mk().infer_clip(params, blurry)[0])
+    assert np.abs(v_qat - v_int8).max() < 1e-4   # accum dtype only
+    assert np.abs(v_qat - v_f).max() > 0         # and it IS quantized
+
+
+def test_qat_train_step_learns():
+    """conv_int8_qat must not change the param tree, and a few optimizer
+    steps through the fake-quant graph must reduce the loss (STE gradients
+    reach every quantized kernel)."""
+    from bin_tpu.training.state import create_train_state
+    from bin_tpu.training.trainer import make_train_step
+    cfg = get_config("config3_prf", [
+        "model.base_features=8", "model.num_res_blocks=1",
+        "model.convlstm_features=16", "model.conv_int8_qat=true",
+        "data.crop_size=32,32", "data.batch_size=2"])
+    model = build_model(cfg)
+    pf = build_model(dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, conv_int8_qat=False))).init(
+            jax.random.key(0), height=32, width=32)
+    pq = model.init(jax.random.key(0), height=32, width=32)
+    assert (jax.tree_util.tree_structure(pf)
+            == jax.tree_util.tree_structure(pq))
+
+    from bin_tpu.data.pipeline import SyntheticSource, train_iterator
+    state = create_train_state(cfg, model, jax.random.key(0))
+    batch = next(train_iterator(SyntheticSource(2, 4, 48, 48, seed=0), 2,
+                                (32, 32), seed=1, random_flip=False))
+    step = jax.jit(make_train_step(model, cfg), donate_argnums=0)
+    losses = []
+    for _ in range(8):
+        state, aux = step(state, batch)
+        losses.append(float(aux["loss_total"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], losses

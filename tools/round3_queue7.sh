@@ -10,9 +10,13 @@ cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}"
 LOG=runs/round3_queue7.log
 echo "=== queue7 start $(date -u)" >> "$LOG"
-# No arm STARTS after 05:45 UTC 2026-08-18 (each is bounded by 1 h), so
-# the chip is guaranteed free for the driver's 07:00 round-end bench.
-DEADLINE="${QUEUE7_DEADLINE:-1787031900}"
+# No arm STARTS after 07:30 UTC 2026-08-18 (each is bounded by 1 h).
+# Session-3 revision: the original 05:45 assumed the round could end
+# ~08:30; session 3 began 00:26 UTC with a fresh ~12 h budget, so the
+# earliest plausible round end moved to ~10:00+ — 07:30 + 1 h arms still
+# frees the chip with >1 h margin while avoiding an idle-chip gap when
+# the tunnel returns mid-morning.
+DEADLINE="${QUEUE7_DEADLINE:-1787038200}"
 b() { local out="$1"; shift
   [ -s "$out" ] && return
   if [ "$(date +%s)" -ge "$DEADLINE" ]; then
