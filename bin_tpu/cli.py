@@ -119,10 +119,14 @@ def demo_main(argv: list[str] | None = None) -> None:
     import jax
     import numpy as np
 
+    from bin_tpu.data.video import VIDEO_EXTS
+
     p = argparse.ArgumentParser(description=demo_main.__doc__)
     p.add_argument("--weights", required=True, help=".npz from bin-tpu-export")
     p.add_argument("--input", default="synthetic",
-                   help="folder of blurry key-frame images, or 'synthetic'")
+                   help="folder of blurry key-frame images, a blurry video "
+                        "file (decoded via bin_tpu.data.video), or "
+                        "'synthetic'")
     p.add_argument("--out", default="demo_out", help="output PNG folder")
     p.add_argument("--size", type=int, nargs=2, default=(256, 256),
                    metavar=("H", "W"), help="synthetic input size")
@@ -147,6 +151,21 @@ def demo_main(argv: list[str] | None = None) -> None:
         sample = make_sample(seed=7, num_keys=args.keys, height=h, width=w,
                              style="textured")
         blurry = sample["blurry"][None]
+    elif args.input.lower().endswith(VIDEO_EXTS):
+        # a blurry VIDEO file: decode key frames directly (data/video.py)
+        from bin_tpu.data.video import _open_reader
+        frames = [f.astype(np.float32) / 255.0 for f in _open_reader(args.input)]
+        if len(frames) < model_cfg.window_size:
+            raise SystemExit(f"need >= {model_cfg.window_size} frames, "
+                             f"got {len(frames)} from {args.input}")
+        h, w = frames[0].shape[:2]
+        div = model_cfg.stem_factor * 2 ** (len(model_cfg.channel_mult) - 1)
+        if h % div or w % div:
+            raise SystemExit(
+                f"frame size {h}x{w} not divisible by {div} "
+                f"(stem_factor {model_cfg.stem_factor} x "
+                f"2^{len(model_cfg.channel_mult) - 1} decoder scales)")
+        blurry = np.stack(frames)[None]
     else:
         from bin_tpu.data.frames import load_frame
         import os

@@ -100,3 +100,37 @@ def test_extract_rejects_bad_args(tmp_path):
         extract_frames("nope.avi", str(tmp_path), step=0)
     with pytest.raises(FileNotFoundError):
         extract_tree(str(tmp_path), str(tmp_path / "o"))
+
+
+def test_demo_accepts_video_file(tmp_path):
+    """bin-tpu-demo --input <video file>: decode via data/video.py and run
+    the full joint deblur + 2x-interp demo flow."""
+    import dataclasses
+
+    import jax
+
+    from bin_tpu.cli import demo_main
+    from bin_tpu.config import get_config
+    from bin_tpu.registry import build_model
+    from bin_tpu.weights import export_weights
+
+    cfg = get_config("config2_pyramid")
+    mc = dataclasses.replace(cfg.model, base_features=8, num_res_blocks=1)
+    model = build_model(mc)
+    params = model.init(jax.random.key(0), batch=1, height=32, width=32)
+    wpath = str(tmp_path / "tiny.npz")
+    export_weights(wpath, params, mc, {"preset": "tiny-test"})
+
+    frames = [_pattern(i, 32, 32) for i in range(6)]
+    vpath = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(vpath, cv2.VideoWriter_fourcc(*"FFV1"), 30.0, (32, 32))
+    if not w.isOpened():
+        pytest.skip("FFV1 codec unavailable in this OpenCV build")
+    for f in frames:
+        w.write(f[..., ::-1])
+    w.release()
+
+    out = tmp_path / "out"
+    demo_main(["--weights", wpath, "--input", vpath, "--out", str(out)])
+    pngs = sorted((out / "demo").glob("*.png"))
+    assert len(pngs) == 2 * len(frames) - 3  # times 1..2K-3
