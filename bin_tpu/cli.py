@@ -145,47 +145,19 @@ def demo_main(argv: list[str] | None = None) -> None:
     print(f"loaded {args.weights}: preset={meta.get('preset', '?')} "
           f"model={model_cfg.name}")
 
-    if args.input == "synthetic":
-        from bin_tpu.data.synthetic import make_sample
-        h, w = args.size
-        sample = make_sample(seed=7, num_keys=args.keys, height=h, width=w,
-                             style="textured")
-        blurry = sample["blurry"][None]
-    elif args.input.lower().endswith(VIDEO_EXTS):
-        # a blurry VIDEO file: decode key frames directly (data/video.py)
-        from bin_tpu.data.video import _open_reader
-        frames = [f.astype(np.float32) / 255.0 for f in _open_reader(args.input)]
+    def _validate_and_stack(frames: list, what: str) -> np.ndarray:
+        """Shared clip validation: count, consistent sizes, and conv-scale
+        divisibility (stem space-to-depth x the encoder's 2x downsamples)."""
         if len(frames) < model_cfg.window_size:
             raise SystemExit(f"need >= {model_cfg.window_size} frames, "
-                             f"got {len(frames)} from {args.input}")
-        h, w = frames[0].shape[:2]
-        div = model_cfg.stem_factor * 2 ** (len(model_cfg.channel_mult) - 1)
-        if h % div or w % div:
-            raise SystemExit(
-                f"frame size {h}x{w} not divisible by {div} "
-                f"(stem_factor {model_cfg.stem_factor} x "
-                f"2^{len(model_cfg.channel_mult) - 1} decoder scales)")
-        blurry = np.stack(frames)[None]
-    else:
-        from bin_tpu.data.frames import load_frame
-        import os
-        paths = sorted(os.path.join(args.input, f)
-                       for f in os.listdir(args.input)
-                       if f.lower().endswith((".png", ".jpg", ".npy")))
-        if len(paths) < model_cfg.window_size:
-            raise SystemExit(f"need >= {model_cfg.window_size} frames, "
-                             f"got {len(paths)}")
-        frames = [load_frame(f) for f in paths]
+                             f"got {len(frames)} from {what}")
         shapes = {f.shape for f in frames}
         if len(shapes) != 1:
             raise SystemExit(
-                "input frames have differing sizes: "
-                + ", ".join(f"{os.path.basename(p)}={f.shape[0]}x{f.shape[1]}"
-                            for p, f in zip(paths, frames))
+                f"input frames of {what} have differing sizes: "
+                + ", ".join(sorted(f"{s[0]}x{s[1]}" for s in shapes))
                 + " — resize them to a common resolution first")
         h, w = frames[0].shape[:2]
-        # every conv scale must see integer dims: stem space-to-depth times
-        # the encoder's 2x downsamples
         div = model_cfg.stem_factor * 2 ** (len(model_cfg.channel_mult) - 1)
         if h % div or w % div:
             raise SystemExit(
@@ -194,7 +166,28 @@ def demo_main(argv: list[str] | None = None) -> None:
                 f"{2 ** (len(model_cfg.channel_mult) - 1)} encoder downsample)"
                 f" — crop/resize to multiples of {div}, e.g. "
                 f"{h - h % div}x{w - w % div}")
-        blurry = np.stack(frames)[None]
+        return np.stack(frames)[None]
+
+    if args.input == "synthetic":
+        from bin_tpu.data.synthetic import make_sample
+        h, w = args.size
+        sample = make_sample(seed=7, num_keys=args.keys, height=h, width=w,
+                             style="textured")
+        blurry = sample["blurry"][None]
+    elif args.input.lower().endswith(VIDEO_EXTS):
+        # a blurry VIDEO file: decode key frames directly (data/video.py)
+        from bin_tpu.data.video import iter_video_frames
+        blurry = _validate_and_stack(
+            [f.astype(np.float32) / 255.0 for f in iter_video_frames(args.input)],
+            args.input)
+    else:
+        from bin_tpu.data.frames import load_frame
+        import os
+        paths = sorted(os.path.join(args.input, f)
+                       for f in os.listdir(args.input)
+                       if f.lower().endswith((".png", ".jpg", ".npy")))
+        blurry = _validate_and_stack([load_frame(f) for f in paths],
+                                     args.input)
 
     video, times = jax.jit(model.infer_clip)(params, blurry)
     save_clip_frames(np.asarray(video[0]), times, args.out, "demo")

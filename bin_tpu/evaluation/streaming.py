@@ -146,7 +146,11 @@ class StreamingSession:
 
             def _fetch_loop():
                 while True:
-                    times, dev = self._fetch_q.get()
+                    item = self._fetch_q.get()
+                    if item is None:  # close() sentinel
+                        self._fetch_q.task_done()
+                        return
+                    times, dev = item
                     try:
                         host = np.asarray(jax.device_get(dev))  # (E, B, H, W, 3)
                         with self._ready_lock:
@@ -177,6 +181,16 @@ class StreamingSession:
             self._fetch_q.join()  # let in-flight fetches land, then discard
             with self._ready_lock:
                 self._ready.clear()
+
+    def close(self) -> None:
+        """Stop the async fetch thread (async mode).  A session holds
+        device-resident buffers alive through the thread's closure, so
+        long-running owners (the serving daemon) must close sessions they
+        retire — a daemon thread alone never exits and would leak one OS
+        thread + the session's device arrays per stream ever created."""
+        if self.async_drain and self._fetcher.is_alive():
+            self._fetch_q.put(None)
+            self._fetcher.join(timeout=60)
 
     def poll(self) -> list[tuple[int, np.ndarray]]:
         """Async mode: frames whose device→host transfer has completed —

@@ -69,10 +69,15 @@ def fake_quant_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
     train against noise the int8 deployment does not have.  Output fp32;
     cast at the call site.
     """
-    qx = fake_quant(x)                       # per-tensor, dynamic
-    qk = fake_quant(kernel, axis=(0, 1, 2))  # per-output-channel
+    # Quantize in fp32 and STAY fp32 into the conv: fake_quant returns its
+    # input dtype, and under bf16 training a cast back to bf16 would round
+    # every dequantized q*s product (8 mantissa bits — the same order as
+    # the int8 step) and re-introduce exactly the noise this path exists
+    # to avoid.
+    qx = fake_quant(x.astype(jnp.float32))                       # per-tensor
+    qk = fake_quant(kernel.astype(jnp.float32), axis=(0, 1, 2))  # per-channel
     out = lax.conv_general_dilated(
-        qx.astype(jnp.float32), qk.astype(jnp.float32), strides, padding,
+        qx, qk, strides, padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if bias is not None:
         out = out + bias.astype(jnp.float32)

@@ -53,6 +53,9 @@ class _Stream:
         self.session = session
         self.height, self.width = height, width
         self.lock = threading.Lock()
+        self.closed = False  # guarded by lock: a push that was blocked on a
+        #                      concurrent close() must fail, not feed (and
+        #                      lose frames into) the already-drained session
         self.keys_pushed = 0
         self.frames_delivered = 0
 
@@ -110,19 +113,25 @@ class FrameServer:
         output frames whose transfer has completed (non-blocking)."""
         stream = self._get(sid)
         with stream.lock:
+            if stream.closed:
+                raise KeyError(sid)
             stream.session.push(frame[None])
             stream.keys_pushed += 1
             ready = stream.session.poll()
-        out = [(t, f[0]) for t, f in ready]
-        stream.frames_delivered += len(out)
-        return out
+            stream.frames_delivered += len(ready)
+        return [(t, f[0]) for t, f in ready]
 
     def close(self, sid: str) -> list[tuple[int, np.ndarray]]:
-        """Flush trailing emissions, block for in-flight fetches, delete."""
+        """Flush trailing emissions, block for in-flight fetches, stop the
+        session's fetch thread, delete."""
         stream = self._get(sid)
         with stream.lock:
+            if stream.closed:
+                raise KeyError(sid)
+            stream.closed = True
             stream.session.flush()
             remaining = stream.session.drain()
+            stream.session.close()
         with self._lock:
             self._streams.pop(sid, None)
         return [(t, f[0]) for t, f in remaining]
@@ -197,7 +206,14 @@ def _make_handler(server: FrameServer):
         def _post(self, body: bytes):
             parts = [p for p in self.path.split("/") if p]
             if parts == ["v1", "streams"]:
-                spec = json.loads(body or b"{}")
+                try:
+                    spec = json.loads(body or b"{}")
+                except json.JSONDecodeError as exc:
+                    raise ValueError(f"body is not JSON: {exc}")
+                if (not isinstance(spec, dict) or "height" not in spec
+                        or "width" not in spec):
+                    raise ValueError(
+                        'body must be {"height": H, "width": W}')
                 sid = server.create_stream(int(spec["height"]),
                                            int(spec["width"]))
                 return self._json(201, {"id": sid})

@@ -190,3 +190,20 @@ def test_qat_train_step_learns():
         losses.append(float(aux["loss_total"]))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0], losses
+
+
+def test_fake_quant_conv_bf16_inputs_match_int8_conv():
+    """Under bf16 training the QAT forward must still track the deployed
+    int8 path: quantization happens in fp32 and STAYS fp32 into the conv
+    (a bf16 cast of the dequantized values would add rounding noise of the
+    same order as the int8 step itself — review finding, round 3)."""
+    from bin_tpu.ops.quant import fake_quant_conv
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 12, 12, 8)).astype(np.float32),
+                    dtype=jnp.bfloat16)
+    k = jnp.asarray(rng.normal(0, 0.1, (3, 3, 8, 12)).astype(np.float32),
+                    dtype=jnp.bfloat16)
+    b = jnp.asarray(rng.normal(0, 0.01, (12,)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(fake_quant_conv(x, k, b), np.float32),
+        np.asarray(int8_conv(x, k, b), np.float32), rtol=0, atol=1e-5)

@@ -71,6 +71,7 @@ def test_http_stream_matches_direct_session(served):
         ref.push(f[None])
     ref.flush()
     want = {t: f[0] for t, f in ref.drain()}
+    ref.close()  # stop its fetch thread (leak hygiene, see close test)
     assert len(want) >= NUM_KEYS  # 2x rate minus window latency
 
     conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
@@ -150,4 +151,46 @@ def test_stream_limit(served):
     for sid in sids:
         conn.request("POST", f"/v1/streams/{sid}/close")
         conn.getresponse().read()
+    conn.close()
+
+
+def test_close_stops_fetch_thread_and_rejects_late_push(served):
+    """FrameServer.close must stop the session's async fetch thread (no
+    per-stream thread/device-buffer leak) and late pushes must 404."""
+    import threading as _threading
+
+    def _fetchers():
+        return sum(t.name == "bin-tpu-stream-fetch"
+                   for t in _threading.enumerate())
+
+    model, params, port = served
+    baseline = _fetchers()  # earlier tests may hold their own sessions
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", "/v1/streams",
+                 body=json.dumps({"height": H, "width": W}))
+    sid = json.loads(conn.getresponse().read())["id"]
+    assert _fetchers() == baseline + 1  # this stream's fetcher is alive
+    conn.request("POST", f"/v1/streams/{sid}/close")
+    conn.getresponse().read()
+    # fetcher must exit promptly after close (no per-stream thread leak)
+    import time
+    for _ in range(100):
+        if _fetchers() == baseline:
+            break
+        time.sleep(0.1)
+    assert _fetchers() == baseline, "fetch thread leaked after close"
+    conn.request("POST", f"/v1/streams/{sid}/frames",
+                 body=np.zeros((H, W, 3), np.uint8).tobytes())
+    resp = conn.getresponse()
+    assert resp.status == 404
+    resp.read()
+    # malformed create bodies are 400s, not 404s
+    conn.request("POST", "/v1/streams", body=json.dumps({"height": H}))
+    resp = conn.getresponse()
+    assert resp.status == 400
+    resp.read()
+    conn.request("POST", "/v1/streams", body=b"not json")
+    resp = conn.getresponse()
+    assert resp.status == 400
+    resp.read()
     conn.close()

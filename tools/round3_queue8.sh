@@ -16,10 +16,12 @@ set -u
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jax_cache}"
 LOG=runs/round3_queue8.log
-# No phase STARTS after this (default 2026-08-18 08:00 UTC): the fine-tune
-# is bounded 75 min and each eval 30 min, so worst case ends ~09:35 —
-# inside the earliest plausible round-end window with margin.
-DEADLINE="${QUEUE8_DEADLINE:-1787040000}"
+# No phase STARTS after this (default 2026-08-18 09:00 UTC). Ordering with
+# queue7: its last arm may START at 07:29 and hold the chip until ~08:30,
+# so queue8's start deadline must sit beyond that or the whole experiment
+# is silently skipped; 09:00 + the 75-min train bound ends by ~10:15,
+# still >2 h before the ~12:26 session end.
+DEADLINE="${QUEUE8_DEADLINE:-1787043600}"
 echo "=== queue8 start $(date -u) (deadline $(date -u -d @$DEADLINE))" >> "$LOG"
 step() { echo "--- $1 rc=$2 $(date -u)" >> "$LOG"; }
 guard() { [ "$(date +%s)" -lt "$DEADLINE" ] || { echo "--- $1 SKIPPED (deadline) $(date -u)" >> "$LOG"; return 1; }; }
@@ -31,7 +33,7 @@ if [ ! -f runs/prf_qat2k/DONE ]; then
       --set model.conv_int8_qat=true --set model.dtype=bfloat16 \
       --set model.remat=true --set data.loader=grain \
       --set optim.learning_rate=2.5e-5 --set optim.lr_decay_steps=100000 \
-      --set checkpoint.save_interval_steps=1000 --set checkpoint.keep_last_n=1 \
+      --set checkpoint.save_interval_steps=2000 --set checkpoint.keep_last_n=1 \
       --steps 2000 --init-from weights/prf_ema_r3.npz \
       --workdir runs/prf_qat2k >> runs/prf_qat2k.log 2>&1
     rc=$?
