@@ -60,7 +60,11 @@ class StreamingSession:
         across chips by sharding it over 'data' (params replicated, window
         stack + ConvLSTM carries sharded with the streams; XLA keeps every
         per-stream op local, no collectives in the hot path).  ``batch``
-        must divide evenly over the mesh's data axis.
+        must divide evenly over the mesh's data axis.  A mesh with a
+        'spatial' axis > 1 additionally shards activation HEIGHT, the
+        single-stream latency lever: one 720p stream can then spread over
+        several chips (XLA inserts conv halo exchanges over ICI) — the
+        reference's DataParallel has no analog (SURVEY.md §6.7-6.8).
 
         ``async_drain``: per-KEY delivery without paying the fetch round
         trip on the critical path (VERDICT r2 item 8).  The emissions are
@@ -80,6 +84,11 @@ class StreamingSession:
             if batch % plan.num_data:
                 raise ValueError(f"batch {batch} streams must divide over "
                                  f"data={plan.num_data} mesh axis")
+            if (plan.num_spatial > 1
+                    and (height // model.cfg.stem_factor) % plan.num_spatial):
+                raise ValueError(
+                    f"packed height {height}//{model.cfg.stem_factor} must "
+                    f"divide over spatial={plan.num_spatial} mesh axis")
             params = jax.device_put(params, plan.replicated())
         self.params = params
         self.k = model.cfg.window_size
@@ -163,15 +172,23 @@ class StreamingSession:
             self._fetcher.start()
         self.reset()
 
+    def _shard(self, x) -> jax.Array:
+        """Session-array sharding: batch (streams) over 'data'; with a
+        spatial mesh axis, activation height too.  Every array the session
+        holds or ingests is NHWC-like: frames/carries are (B, H', W', C)
+        → height axis 1; the window stack is (B, K, H', W', C) → axis 2."""
+        height_dim = {4: 1, 5: 2}.get(jnp.ndim(x))
+        return jax.device_put(
+            x, self._plan.batch(jnp.ndim(x), height_dim=height_dim))
+
     def reset(self) -> None:
         """New stream(s): clear ConvLSTM carries and the frame window."""
         self.states = self.model.initial_state(self.batch, self.height,
                                                self.width)
         self._stack = jnp.zeros(self._stack_shape, self._stack_dtype)
         if self._plan is not None:
-            shard = lambda x: jax.device_put(x, self._plan.batch(x.ndim))
-            self.states = jax.tree.map(shard, self.states)
-            self._stack = shard(self._stack)
+            self.states = jax.tree.map(self._shard, self.states)
+            self._stack = self._shard(self._stack)
         self._keys_seen = 0
         self._last_outputs = None
         self._last_start_t = 0
@@ -266,8 +283,7 @@ class StreamingSession:
         if self._plan is not None:
             # commit the host frame with the stream sharding up front so the
             # jitted step runs SPMD instead of pulling everything to device 0
-            key_frames = jax.device_put(key_frames,
-                                        self._plan.batch(key_frames.ndim))
+            key_frames = self._shard(key_frames)
         self._keys_seen += 1
         if self._keys_seen < self.k:
             self._stack = self._insert(key_frames, self._stack)

@@ -179,3 +179,45 @@ def test_grain_shard_split_disjoint_and_complete():
     assert len(a) == 8 and len(b) == 8
     assert not set(a) & set(b), (a, b)
     assert set(a) | set(b) == set(range(16))
+
+
+def test_spatial_sharded_streaming_matches_single_device(devices):
+    """StreamingSession over a data=2 x spatial=4 mesh: streams sharded over
+    'data' AND activation height over 'spatial' (the single-stream latency
+    lever — XLA inserts conv halo exchanges) must emit the same frames as
+    the unsharded session."""
+    from bin_tpu.evaluation.streaming import StreamingSession
+
+    cfg = _tiny(get_config("config3_prf"))
+    model = build_model(cfg)
+    params = model.init(jax.random.key(2), height=64, width=32)
+    rng = np.random.default_rng(8)
+    keys = rng.uniform(0, 1, (6, 2, 64, 32, 3)).astype(np.float32)
+
+    single = StreamingSession(model, params, batch=2, height=64, width=32,
+                              buffer_drain=True)
+    plan = make_mesh(ParallelConfig(data_axis_size=2, spatial_axis_size=4))
+    sharded = StreamingSession(model, params, batch=2, height=64, width=32,
+                               buffer_drain=True, plan=plan)
+    for sess in (single, sharded):
+        for i in range(keys.shape[0]):
+            sess.push(keys[i])
+        sess.flush()
+    out_a, out_b = single.drain(), sharded.drain()
+    assert [t for t, _ in out_a] == [t for t, _ in out_b]
+    for (ta, fa), (tb, fb) in zip(out_a, out_b):
+        np.testing.assert_allclose(fa, fb, rtol=1e-5, atol=1e-5)
+
+
+def test_spatial_sharded_streaming_rejects_indivisible_height(devices):
+    from bin_tpu.evaluation.streaming import StreamingSession
+
+    cfg = _tiny(get_config("config3_prf"))
+    model = build_model(cfg)
+    params = model.init(jax.random.key(2), height=32, width=32)
+    plan = make_mesh(ParallelConfig(data_axis_size=2, spatial_axis_size=4))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="spatial"):
+        # packed height 36/2=18 does not divide over spatial=4
+        StreamingSession(model, params, batch=2, height=36, width=32,
+                         plan=plan)
