@@ -216,11 +216,19 @@ def train(cfg: Config, workdir: str = "runs/latest",
     from bin_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
 
+    # Multi-host: join the jax.distributed job BEFORE any backend touch.
+    # No-op in single-process runs (bin_tpu/parallel/distributed.py).
+    from bin_tpu.parallel.distributed import maybe_initialize
+    maybe_initialize()
+
     num_steps = num_steps or cfg.optim.num_steps
     if cfg.log.debug_nans:
         jax.config.update("jax_debug_nans", True)
     os.makedirs(workdir, exist_ok=True)
-    logger = MetricLogger(os.path.join(workdir, cfg.log.jsonl_path))
+    # one writer: every process trains, process 0 logs (shared workdir)
+    logger = (MetricLogger(os.path.join(workdir, cfg.log.jsonl_path))
+              if jax.process_index() == 0
+              else MetricLogger(None, stream=open(os.devnull, "w")))
 
     model = build_model(cfg)
     rng = jax.random.key(cfg.seed)
@@ -234,6 +242,19 @@ def train(cfg: Config, workdir: str = "runs/latest",
         plan = make_mesh(cfg.parallel)
         from bin_tpu.parallel.mesh import replicated
         state = replicated(plan, state)
+
+    # Multi-host input contract: cfg.data.batch_size is the GLOBAL batch;
+    # each process loads only its process_batch_slice rows and shard_batch
+    # assembles the global array (bin_tpu/parallel/mesh.py).
+    local_batch, batch_offset = cfg.data.batch_size, 0
+    multihost = jax.process_count() > 1
+    if multihost:
+        if plan is None:
+            raise ValueError(
+                "multi-process training needs a device mesh — set "
+                "parallel.data_axis_size (e.g. -1) so the batch shards")
+        from bin_tpu.parallel.distributed import process_batch_slice
+        local_batch, batch_offset = process_batch_slice(cfg.data.batch_size)
 
     manager = ckpt.make_manager(os.path.join(workdir, cfg.checkpoint.directory),
                                 cfg.checkpoint)
@@ -253,11 +274,17 @@ def train(cfg: Config, workdir: str = "runs/latest",
         loader_dir = os.path.join(workdir, cfg.checkpoint.directory + "_loader")
         os.makedirs(loader_dir, exist_ok=True)
         grain_it = grain_train_iterator(
-            source, cfg.data.batch_size, cfg.data.crop_size, seed=cfg.seed,
+            source, local_batch, cfg.data.crop_size, seed=cfg.seed,
             random_flip=cfg.data.random_flip, num_workers=cfg.data.num_workers,
-            keep_u8=cfg.data.transfer_u8)
+            keep_u8=cfg.data.transfer_u8, shard_by_process=multihost)
+
+        def state_name(step: int) -> str:
+            # per-process files: each host checkpoints/replays its own shard
+            return (f"{step}.p{jax.process_index()}.bin" if multihost
+                    else f"{step}.bin")
+
         if start_step > 0:
-            path = os.path.join(loader_dir, f"{start_step}.bin")
+            path = os.path.join(loader_dir, state_name(start_step))
             if os.path.exists(path):
                 with open(path, "rb") as f:
                     grain_it.set_state(f.read())
@@ -295,17 +322,29 @@ def train(cfg: Config, workdir: str = "runs/latest",
                                  random_flip=cfg.data.random_flip,
                                  prefetch=cfg.data.prefetch,
                                  keep_u8=cfg.data.transfer_u8)
+        if multihost:
+            # The threaded iterator is seeded by cfg.seed, so every process
+            # produces the IDENTICAL global batch stream; each keeps only
+            # its slice (the grain loader shards at the source instead —
+            # prefer data.loader=grain for real multi-host input).
+            def _slice(gen):
+                for b in gen:
+                    yield {k: v[batch_offset:batch_offset + local_batch]
+                           for k, v in b.items()}
+            batches = _slice(batches)
 
     def save_now(step: int, s: TrainState):
         ckpt.save(manager, step, s)
         if loader_state_at is not None:
-            with open(os.path.join(loader_dir, f"{step}.bin"), "wb") as f:
+            with open(os.path.join(loader_dir, state_name(step)), "wb") as f:
                 f.write(loader_state_at(step))
-            keep = sorted(
-                (int(p.split(".")[0]) for p in os.listdir(loader_dir)
-                 if p.endswith(".bin")))[:-cfg.checkpoint.keep_last_n]
-            for old in keep:
-                os.remove(os.path.join(loader_dir, f"{old}.bin"))
+            mine = sorted(
+                (p for p in os.listdir(loader_dir)
+                 if p.endswith(".bin")
+                 and p == state_name(int(p.split(".")[0]))),
+                key=lambda p: int(p.split(".")[0]))  # numeric, not lexical
+            for old in mine[:-cfg.checkpoint.keep_last_n]:
+                os.remove(os.path.join(loader_dir, old))
 
     def save_cb(step: int, s: TrainState):
         if step % cfg.checkpoint.save_interval_steps == 0:

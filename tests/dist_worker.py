@@ -46,6 +46,30 @@ def _local(x):
     return np.asarray(x)
 
 
+def main_train(port: str, pid: int, workdir: str) -> None:
+    """Mode 2: the PUBLIC train() entry end-to-end under 2 processes —
+    shared workdir, global batch sliced per process, orbax multi-process
+    save, process-0-only logging."""
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from bin_tpu.parallel.distributed import maybe_initialize
+    assert maybe_initialize(f"localhost:{port}", 2, pid)
+
+    from bin_tpu.config import ParallelConfig
+    from bin_tpu.training.trainer import train
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        parallel=ParallelConfig(data_axis_size=-1),
+        checkpoint=dataclasses.replace(cfg.checkpoint, save_interval_steps=4,
+                                       keep_last_n=1),
+        log=dataclasses.replace(cfg.log, log_interval_steps=1),
+    )
+    state = train(cfg, workdir=workdir, num_steps=4)
+    assert int(jax.device_get(state.step)) == 4
+
+
 def main(port: str, pid: int, out_path: str) -> None:
     # 2 local devices per process; MUST be set before importing jax
     # (shell-level env vars are ignored on this host — tests/conftest.py).
@@ -90,4 +114,7 @@ def main(port: str, pid: int, out_path: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]), sys.argv[3])
+    if len(sys.argv) > 4 and sys.argv[4] == "train":
+        main_train(sys.argv[1], int(sys.argv[2]), sys.argv[3])
+    else:
+        main(sys.argv[1], int(sys.argv[2]), sys.argv[3])

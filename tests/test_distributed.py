@@ -84,3 +84,38 @@ def test_matches_single_process_step(worker_results):
 def test_process_batch_slice_single_process():
     from bin_tpu.parallel.distributed import process_batch_slice
     assert process_batch_slice(8) == (8, 0)
+
+
+def test_train_entry_two_processes(tmp_path):
+    """The PUBLIC train() entry under 2 real processes: shared workdir,
+    global batch sharded per process, orbax multi-process checkpointing,
+    one JSONL writer.  This is the multi-host upgrade path working through
+    the same code a single-host user runs (SURVEY.md §6.8)."""
+    port = _free_port()
+    workdir = str(tmp_path / "run")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(port), str(i), workdir, "train"],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(2)]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("train worker timed out (420s)")
+        logs.append(out)
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, \
+            f"rank {i} failed (rc={p.returncode}):\n{logs[i][-3000:]}"
+    # process 0 logged every step, once
+    records = [json.loads(l) for l in
+               open(os.path.join(workdir, "metrics.jsonl"))]
+    assert [r["step"] for r in records] == [1, 2, 3, 4]
+    assert all(np.isfinite(r["loss_total"]) for r in records)
+    # a valid multi-process checkpoint landed at step 4
+    assert os.path.isdir(os.path.join(workdir, "checkpoints"))
+    names = os.listdir(os.path.join(workdir, "checkpoints"))
+    assert any(n.rstrip("/").endswith("4") for n in names), names
