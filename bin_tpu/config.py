@@ -183,6 +183,13 @@ class OptimConfig:
     ema_decay: float = 0.0         # >0 tracks an EMA of the params in the
                                    # train state (eval/export via --ema);
                                    # 0 disables (reference recipe has none)
+    grad_accum_steps: int = 1      # >1: split the batch into this many
+                                   # microbatches inside the jitted step
+                                   # (lax.scan), average grads, ONE optimizer
+                                   # update — reference-scale effective
+                                   # batches at 1/N activation memory;
+                                   # bit-equivalent to the unsplit step
+                                   # (tests/test_training.py)
     num_steps: int = 200_000
 
 

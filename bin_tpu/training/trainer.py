@@ -47,11 +47,49 @@ def make_train_step(model: Model, cfg: Config,
                      if v.dtype == jnp.uint8 else v)
                  for k, v in batch.items()}
 
-        def loss_fn(params):
-            return model.loss_clip(params, batch["blurry"], batch["sharp"],
+        def loss_fn(params, blurry, sharp):
+            return model.loss_clip(params, blurry, sharp,
                                    cfg.loss, perceptual_fn=perceptual_fn)
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        accum = max(1, cfg.optim.grad_accum_steps)
+        if accum == 1:
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, batch["blurry"],
+                                       batch["sharp"])
+        else:
+            # Gradient accumulation: scan over microbatches INSIDE the one
+            # jitted step — peak activation memory drops to 1/accum while
+            # the update stays bit-equivalent to the unsplit step (the loss
+            # is a batch mean, so the mean of equal-size microbatch grads
+            # IS the full-batch grad).  One optimizer update per step, so
+            # lr schedule / EMA / clipping semantics are unchanged.
+            b = batch["blurry"].shape[0]
+            if b % accum:
+                raise ValueError(f"batch {b} not divisible by "
+                                 f"grad_accum_steps={accum}")
+            micro = {k: v.reshape(accum, b // accum, *v.shape[1:])
+                     for k, v in batch.items()}
+
+            def one(params, mb):
+                return jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, mb["blurry"], mb["sharp"])
+
+            def body(carry, mb):
+                (l, a), g = one(state.params, mb)
+                loss_sum, aux_sum, grad_sum = carry
+                return (loss_sum + l,
+                        jax.tree.map(jnp.add, aux_sum, a),
+                        jax.tree.map(jnp.add, grad_sum, g)), None
+
+            (l0, a0), g0 = one(state.params,
+                               jax.tree.map(lambda v: v[0], micro))
+            rest = jax.tree.map(lambda v: v[1:], micro)
+            (loss_s, aux_s, grad_s), _ = jax.lax.scan(
+                body, (l0, a0, g0), rest)
+            scale = 1.0 / accum
+            loss = loss_s * scale
+            aux = jax.tree.map(lambda v: v * scale, aux_s)
+            grads = jax.tree.map(lambda v: v * scale, grad_s)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         aux["grad_norm"] = optax.global_norm(grads)

@@ -149,3 +149,53 @@ def test_stall_watchdog_beats_keep_it_quiet():
     w.stop()
     w._thread.join(timeout=5)
     assert not w._thread.is_alive()
+
+
+def test_grad_accum_matches_unsplit_step():
+    """optim.grad_accum_steps=4 must produce the same update as the unsplit
+    step on the same batch (the loss is a batch mean, so averaged
+    microbatch grads == full-batch grads), at ~1/4 activation memory."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bin_tpu.config import get_config
+    from bin_tpu.data.pipeline import SyntheticSource, train_iterator
+    from bin_tpu.registry import build_model
+    from bin_tpu.training.state import create_train_state
+    from bin_tpu.training.trainer import make_train_step
+
+    cfg = get_config("config3_prf", [
+        "model.base_features=8", "model.num_res_blocks=1",
+        "model.convlstm_features=16", "data.crop_size=32,32",
+        "data.batch_size=8"])
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.key(0))
+    batch = next(train_iterator(SyntheticSource(4, 4, 48, 48, seed=0), 8,
+                                (32, 32), seed=1, random_flip=False))
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    new_a, aux_a = make_train_step(model, cfg)(
+        jax.tree.map(jnp.copy, state), batch)
+    cfg4 = dataclasses.replace(
+        cfg, optim=dataclasses.replace(cfg.optim, grad_accum_steps=4))
+    new_b, aux_b = make_train_step(model, cfg4)(
+        jax.tree.map(jnp.copy, state), batch)
+
+    np.testing.assert_allclose(float(aux_a["loss_total"]),
+                               float(aux_b["loss_total"]), rtol=1e-6)
+    np.testing.assert_allclose(float(aux_a["grad_norm"]),
+                               float(aux_b["grad_norm"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(new_a.params),
+                    jax.tree.leaves(new_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
+
+    # indivisible batch is rejected at trace time
+    cfg3 = dataclasses.replace(
+        cfg, optim=dataclasses.replace(cfg.optim, grad_accum_steps=3))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="divisible"):
+        make_train_step(model, cfg3)(jax.tree.map(jnp.copy, state), batch)
