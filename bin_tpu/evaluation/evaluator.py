@@ -73,13 +73,29 @@ def save_clip_frames(video: np.ndarray, times: np.ndarray, out_dir: str,
 
 
 def evaluate(model: Model, params: Any, clips: Iterable[dict[str, np.ndarray]],
-             verbose: bool = True, save_dir: str = "") -> dict[str, float]:
+             verbose: bool = True, save_dir: str = "",
+             plan=None) -> dict[str, float]:
     """Aggregate PSNR/SSIM over eval clips.
 
     clips yield {"blurry": (B,K,H,W,3), "sharp": (B,2K-1,H,W,3),
     "valid": (B,) optional padding mask}.  With ``save_dir``, assembled
     output videos are also written as PNG frame folders.
+
+    ``plan`` (MeshPlan): shard eval over a device mesh — the clip batch
+    over 'data' (size the batch to plan.num_data) and, with spatial > 1,
+    frame height over 'spatial'; params replicated.  Same SPMD rules as
+    training (SURVEY.md §6.8).
     """
+    if plan is not None:
+        params = jax.device_put(params, plan.replicated())
+
+    def _put(x: np.ndarray) -> jnp.ndarray:
+        arr = jnp.asarray(x)
+        if plan is None:
+            return arr
+        hd = 2 if arr.ndim == 5 else None  # (B, T, H, W, 3) frame stacks
+        return jax.device_put(arr, plan.batch(arr.ndim, height_dim=hd))
+
     fn_cache: dict[tuple, Any] = {}
     sums: dict[str, float] = {}
     count = 0
@@ -89,8 +105,7 @@ def evaluate(model: Model, params: Any, clips: Iterable[dict[str, np.ndarray]],
             fn_cache[key] = clip_metrics_fn(model, clip["blurry"].shape[1],
                                             return_video=bool(save_dir))
         fn, times = fn_cache[key]
-        out = fn(params, jnp.asarray(clip["blurry"]),
-                 jnp.asarray(clip["sharp"]))
+        out = fn(params, _put(clip["blurry"]), _put(clip["sharp"]))
         valid = clip.get("valid", np.ones(clip["blurry"].shape[0], bool))
         if save_dir:
             out, video = out
@@ -177,5 +192,10 @@ def evaluate_cli(cfg: Config, checkpoint: str = "", num_clips: int | None = None
         source = FrameFolderSource(cfg.data.root, num_keys=num_keys,
                                    resize_to=(h, w),
                                    clip_list=cfg.data.eval_list)
-    return evaluate(model, params, eval_clips(source, batch_size=1),
-                    save_dir=save_dir)
+    plan, batch = None, 1
+    if cfg.parallel.data_axis_size != 1 or cfg.parallel.spatial_axis_size != 1:
+        from bin_tpu.parallel.mesh import make_mesh
+        plan = make_mesh(cfg.parallel)
+        batch = plan.num_data  # clips shard over 'data'; padding masked
+    return evaluate(model, params, eval_clips(source, batch_size=batch),
+                    save_dir=save_dir, plan=plan)

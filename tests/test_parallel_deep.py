@@ -221,3 +221,22 @@ def test_spatial_sharded_streaming_rejects_indivisible_height(devices):
         # packed height 36/2=18 does not divide over spatial=4
         StreamingSession(model, params, batch=2, height=36, width=32,
                          plan=plan)
+
+
+def test_evaluate_cli_mesh_matches_single_device(devices):
+    """evaluate_cli with a parallel mesh config (clips over 'data', height
+    over 'spatial') must reproduce the single-device protocol numbers."""
+    from bin_tpu.evaluation.evaluator import evaluate_cli
+
+    overrides = ["model.base_features=8", "model.num_res_blocks=1",
+                 "model.convlstm_features=16", "data.eval_size=32,32",
+                 "data.eval_num_clips=6", "data.eval_num_keys=6",
+                 "model.dtype=float32"]
+    single = evaluate_cli(get_config("config3_prf", overrides))
+    meshed = evaluate_cli(get_config(
+        "config3_prf", overrides + ["parallel.data_axis_size=4",
+                                    "parallel.spatial_axis_size=2"]))
+    assert sorted(single) == sorted(meshed)
+    for k in single:
+        np.testing.assert_allclose(meshed[k], single[k], rtol=1e-5,
+                                   atol=1e-6)
