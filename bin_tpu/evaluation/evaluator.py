@@ -90,11 +90,12 @@ def evaluate(model: Model, params: Any, clips: Iterable[dict[str, np.ndarray]],
         params = jax.device_put(params, plan.replicated())
 
     def _put(x: np.ndarray) -> jnp.ndarray:
-        arr = jnp.asarray(x)
         if plan is None:
-            return arr
-        hd = 2 if arr.ndim == 5 else None  # (B, T, H, W, 3) frame stacks
-        return jax.device_put(arr, plan.batch(arr.ndim, height_dim=hd))
+            return jnp.asarray(x)
+        # device_put the HOST array with its final sharding directly — an
+        # intermediate jnp.asarray would stage on device 0 and reshard
+        # device-to-device (two tunnel round trips instead of one)
+        return jax.device_put(x, plan.activation(x))
 
     fn_cache: dict[tuple, Any] = {}
     sums: dict[str, float] = {}
@@ -197,5 +198,10 @@ def evaluate_cli(cfg: Config, checkpoint: str = "", num_clips: int | None = None
         from bin_tpu.parallel.mesh import make_mesh
         plan = make_mesh(cfg.parallel)
         batch = plan.num_data  # clips shard over 'data'; padding masked
+        if plan.num_spatial > 1 and h % plan.num_spatial:
+            raise ValueError(
+                f"eval height {h} must divide over the spatial mesh axis "
+                f"({plan.num_spatial}) — pick eval_size or spatial_axis_size "
+                "accordingly")
     return evaluate(model, params, eval_clips(source, batch_size=batch),
                     save_dir=save_dir, plan=plan)

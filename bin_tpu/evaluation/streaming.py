@@ -174,12 +174,10 @@ class StreamingSession:
 
     def _shard(self, x) -> jax.Array:
         """Session-array sharding: batch (streams) over 'data'; with a
-        spatial mesh axis, activation height too.  Every array the session
-        holds or ingests is NHWC-like: frames/carries are (B, H', W', C)
-        → height axis 1; the window stack is (B, K, H', W', C) → axis 2."""
-        height_dim = {4: 1, 5: 2}.get(jnp.ndim(x))
-        return jax.device_put(
-            x, self._plan.batch(jnp.ndim(x), height_dim=height_dim))
+        spatial mesh axis, activation height too where it divides — deep
+        ConvLSTM carries often can't and stay replicated along 'spatial'
+        (MeshPlan.activation holds the rule)."""
+        return jax.device_put(x, self._plan.activation(x))
 
     def reset(self) -> None:
         """New stream(s): clear ConvLSTM carries and the frame window."""

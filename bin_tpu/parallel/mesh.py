@@ -54,6 +54,26 @@ class MeshPlan:
             spec[height_dim] = self.spatial_axis
         return NamedSharding(self.mesh, P(*spec))
 
+    def activation(self, x: Any) -> NamedSharding:
+        """Sharding for a concrete NHWC-like array: batch (dim 0) over
+        'data'; frame height (dim 1 of 4-D frames/carries, dim 2 of 5-D
+        frame stacks) over 'spatial' ONLY when it divides evenly.
+
+        The divisibility condition is load-bearing, not cosmetic: deep
+        ConvLSTM carries sit at the bottleneck resolution
+        (height / (stem_factor · 2^(levels-1))) which often does NOT divide
+        the spatial axis even when the input height does — device_put of a
+        global array requires even splits, so those arrays must stay
+        replicated along 'spatial' while the big frame stacks shard.
+        The ONE place this layout rule lives; streaming and eval both use it.
+        """
+        shape = np.shape(x)
+        hd = {4: 1, 5: 2}.get(len(shape))
+        if hd is not None and (self.num_spatial <= 1
+                               or shape[hd] % self.num_spatial):
+            hd = None
+        return self.batch(len(shape), height_dim=hd)
+
 
 def make_mesh(cfg: ParallelConfig | None = None,
               devices: list | None = None) -> MeshPlan:

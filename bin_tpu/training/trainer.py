@@ -266,7 +266,7 @@ def train(cfg: Config, workdir: str = "runs/latest",
     # one writer: every process trains, process 0 logs (shared workdir)
     logger = (MetricLogger(os.path.join(workdir, cfg.log.jsonl_path))
               if jax.process_index() == 0
-              else MetricLogger(None, stream=open(os.devnull, "w")))
+              else MetricLogger(None, stream=None))
 
     model = build_model(cfg)
     rng = jax.random.key(cfg.seed)

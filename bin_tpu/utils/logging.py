@@ -17,7 +17,11 @@ __all__ = ["MetricLogger"]
 
 
 class MetricLogger:
-    def __init__(self, jsonl_path: str | None = None, stream: IO = sys.stdout):
+    def __init__(self, jsonl_path: str | None = None,
+                 stream: IO | None = sys.stdout):
+        """``stream=None`` with no jsonl_path = a disabled logger (non-zero
+        ranks in multi-host training log nothing, format nothing, own no
+        file descriptor)."""
         self._stream = stream
         self._file = None
         if jsonl_path:
@@ -26,15 +30,18 @@ class MetricLogger:
         self._t0 = time.monotonic()
 
     def log(self, step: int, **metrics: Any) -> None:
+        if self._file is None and self._stream is None:
+            return
         record = {"step": step, "wall_s": round(time.monotonic() - self._t0, 3)}
         record.update({k: (float(v) if hasattr(v, "__float__") else v)
                        for k, v in metrics.items()})
         if self._file:
             self._file.write(json.dumps(record) + "\n")
-        parts = " ".join(
-            f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
-            for k, v in record.items() if k != "step")
-        self._stream.write(f"[step {step}] {parts}\n")
+        if self._stream is not None:
+            parts = " ".join(
+                f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in record.items() if k != "step")
+            self._stream.write(f"[step {step}] {parts}\n")
 
     def close(self) -> None:
         if self._file:

@@ -240,3 +240,32 @@ def test_evaluate_cli_mesh_matches_single_device(devices):
     for k in single:
         np.testing.assert_allclose(meshed[k], single[k], rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_spatial_streaming_indivisible_carry_height(devices):
+    """REGRESSION (review, round 3): height 48 passes the stem-packed guard
+    (48/2=24 divides 4) but the bottleneck ConvLSTM carries are 48/8=6 high
+    — NOT divisible by spatial=4.  MeshPlan.activation must leave such
+    arrays replicated along 'spatial' instead of crashing device_put, and
+    the outputs must still match the unsharded session."""
+    from bin_tpu.evaluation.streaming import StreamingSession
+
+    cfg = _tiny(get_config("config3_prf"))
+    model = build_model(cfg)
+    params = model.init(jax.random.key(2), height=48, width=32)
+    rng = np.random.default_rng(9)
+    keys = rng.uniform(0, 1, (6, 2, 48, 32, 3)).astype(np.float32)
+
+    single = StreamingSession(model, params, batch=2, height=48, width=32,
+                              buffer_drain=True)
+    plan = make_mesh(ParallelConfig(data_axis_size=2, spatial_axis_size=4))
+    sharded = StreamingSession(model, params, batch=2, height=48, width=32,
+                               buffer_drain=True, plan=plan)
+    for sess in (single, sharded):
+        for i in range(keys.shape[0]):
+            sess.push(keys[i])
+        sess.flush()
+    out_a, out_b = single.drain(), sharded.drain()
+    assert [t for t, _ in out_a] == [t for t, _ in out_b]
+    for (_, fa), (_, fb) in zip(out_a, out_b):
+        np.testing.assert_allclose(fa, fb, rtol=1e-5, atol=1e-5)
