@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -112,6 +113,34 @@ def wait_for_device(deadline_s: float = 1800.0, probe_timeout_s: float = 300.0):
         log(f"device probe {attempt} failed ({err}); retrying "
             f"({deadline_s - waited:.0f}s left)")
         time.sleep(min(60.0, max(5.0, deadline_s - waited)))
+
+
+def load_auto_overrides(path: str | None = None):
+    """Measurement-gated default upgrades for unattended benches.
+
+    Automated experiments (e.g. the queue8 int8-QAT fine-tune) drop
+    serving-mode overrides into runs/BENCH_OVERRIDES.json ONLY after their
+    quality eval passes the 0.05 dB budget, so a round-end bench measures
+    the faster mode the moment it is proven free.  Returns
+    (override_strings, provenance_note | None); the note goes verbatim
+    into the output JSON so the record is self-explaining.
+    """
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                            "runs", "BENCH_OVERRIDES.json")
+    if not os.path.exists(path):
+        return [], None
+    try:
+        with open(path) as f:
+            spec = json.load(f)
+        ov = spec.get("overrides", {})
+        note = {"file": os.path.basename(path),
+                "reason": spec.get("reason", ""), "overrides": ov}
+        log(f"applying measurement-gated overrides: {note}")
+        return [f"{k}={v}" for k, v in ov.items()], note
+    except (json.JSONDecodeError, OSError) as e:
+        log(f"ignoring unreadable {path}: {e}")
+        return [], None
 
 
 def _streaming_bench(args, model, params, blurry):
@@ -261,6 +290,8 @@ def _run(args):
         overrides.append(f"model.stem_factor={args.stem}")
     if args.base is not None:
         overrides.append(f"model.base_features={args.base}")
+    extra, auto_note = load_auto_overrides()
+    overrides += extra
     overrides += args.overrides
     cfg = get_config("config5_v5e_streaming", overrides)
     model = build_model(cfg)
@@ -350,6 +381,7 @@ def _run(args):
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
         "vs_baseline_estimated": True,  # no measured reference exists (empty
         # mount, BASELINE.md); denominator is an ASSUMED 25%-MFU eager A100.
+        "auto_overrides": auto_note,  # measurement-gated defaults, if any
         "detail": {
             "shape": [b, k, h, w],
             "dtype": args.dtype,

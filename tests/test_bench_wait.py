@@ -6,6 +6,7 @@ fast UNAVAILABLE errors and silent wedges where ``jax.devices()`` blocks
 round-end bench rides out a transient outage instead of hanging/dying.
 """
 
+import json
 import os
 import time
 
@@ -74,3 +75,24 @@ def test_main_emits_error_record_on_failure(monkeypatch, capsys):
     assert record["value"] == 0.0
     assert "backend unavailable" in record["error"]
     assert record["metric"].startswith("frames/sec/chip")
+
+
+def test_load_auto_overrides(tmp_path):
+    """Measurement-gated bench overrides: absent file = no-op; valid file =
+    override strings + provenance note; corrupt file = ignored, not fatal
+    (an unattended round-end bench must never die on a bad sidecar)."""
+    from bin_tpu.benchmark import load_auto_overrides
+
+    ov, note = load_auto_overrides(str(tmp_path / "nope.json"))
+    assert ov == [] and note is None
+
+    p = tmp_path / "BENCH_OVERRIDES.json"
+    p.write_text(json.dumps({"overrides": {"model.conv_int8_min_cin": 0},
+                             "reason": "QAT verdict"}))
+    ov, note = load_auto_overrides(str(p))
+    assert ov == ["model.conv_int8_min_cin=0"]
+    assert note["reason"] == "QAT verdict"
+
+    p.write_text("{corrupt")
+    ov, note = load_auto_overrides(str(p))
+    assert ov == [] and note is None

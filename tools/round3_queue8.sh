@@ -59,4 +59,38 @@ if [ -d runs/prf_qat2k/checkpoints ]; then
   ev runs/eval_qat2k_int8c256.txt --set model.conv_int8=true \
      --set model.conv_int8_min_cin=256
 fi
+# Decision: flip the bench serving default to ALL-conv int8 only if the
+# fine-tuned weights hold the 0.05 dB budget against the quality-of-record
+# (EMA 28.58 dB pinned 256c, BASELINE.md) UNDER the int8-all serving graph.
+# bench.py picks the override file up automatically with provenance.
+if [ -s runs/eval_qat2k_int8all.txt ]; then
+  python - <<'PYEOF' >> "$LOG" 2>&1
+import json, re
+def overall(path):
+    txt = open(path).read()
+    m = re.findall(r"psnr_overall: ([0-9.]+)", txt)
+    return float(m[-1]) if m else None
+int8 = overall("runs/eval_qat2k_int8all.txt")
+bf16 = overall("runs/eval_qat2k_bf16.txt") if __import__("os").path.exists("runs/eval_qat2k_bf16.txt") else None
+RECORD = 28.58  # EMA quality-of-record, pinned 256^2 (BASELINE.md round 3)
+verdict = dict(int8all_psnr=int8, bf16_psnr=bf16, record=RECORD,
+               budget=0.05, flip=bool(int8 and int8 >= RECORD - 0.05))
+open("runs/QAT_VERDICT.json", "w").write(json.dumps(verdict))
+print("QAT verdict:", verdict)
+if verdict["flip"]:
+    json.dump({"overrides": {"model.conv_int8_min_cin": 0},
+               "reason": f"int8-QAT fine-tune holds the budget: all-conv "
+                         f"int8 eval {int8:.4f} dB vs record {RECORD} "
+                         f"(budget 0.05) - runs/QAT_VERDICT.json"},
+              open("runs/BENCH_OVERRIDES.json", "w"))
+    print("BENCH_OVERRIDES.json written: all-conv int8 serving default")
+PYEOF
+  # export the fine-tuned weights either way (next session's analysis)
+  if [ ! -s weights/prf_qat_r3.npz ] && [ "$(date +%s)" -lt "$DEADLINE" ]; then
+    timeout 900 python -c "
+from bin_tpu.cli import export_main
+export_main(['--preset','config3_prf','--checkpoint','runs/prf_qat2k/checkpoints','--out','weights/prf_qat_r3.npz'])" >> "$LOG" 2>&1
+    echo "--- export_qat rc=$? $(date -u)" >> "$LOG"
+  fi
+fi
 echo "=== queue8 end $(date -u)" >> "$LOG"
