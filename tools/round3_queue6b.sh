@@ -26,8 +26,14 @@ step() { echo "--- $1 rc=$2 $(date -u)" >> "$LOG"; }
 # runs in the post-train window, well before its own 05:45 deadline).
 LATE_CUTOFF=$(( DEADLINE - 14400 ))
 if [ "$(date +%s)" -ge "$LATE_CUTOFF" ]; then
-  echo "--- late tunnel return: running queue7 A/B first $(date -u)" >> "$LOG"
+  echo "--- late tunnel return: quick deliverables first $(date -u)" >> "$LOG"
   bash tools/round3_queue7.sh
+  # Session-3 reorder: the QAT fine-tune (~40 min, potential +10% headline
+  # fps at record quality via the auto-verdict bench flip) beats hours of
+  # a PARTIAL 50k train that mostly reproduces the existing 20k numbers —
+  # run it before the train on late arrivals.  queue8 is idempotent; its
+  # own chained waiter re-runs it later as a no-op.
+  bash tools/round3_queue8.sh
 fi
 
 if [ ! -f runs/prf_ext50k/DONE ]; then
