@@ -223,6 +223,16 @@ class CheckpointConfig:
 class LogConfig:
     jsonl_path: str = "metrics.jsonl"
     log_interval_steps: int = 50
+    eval_interval_steps: int = 0   # >0: run a bounded validation pass every
+                                   # N steps during training (the reference's
+                                   # per-epoch val, SURVEY.md §4.1), log
+                                   # eval_* metrics, and keep the BEST
+                                   # weights at <workdir>/best.npz (the
+                                   # reference's torch.save best).  0 = off
+                                   # (an eval pass costs chip time).
+    eval_clips: int = 4            # clips per in-training validation pass
+                                   # (the full pinned protocol stays the
+                                   # post-training evaluate_cli's job)
     profile_dir: str = ""          # non-empty => jax.profiler traces
     debug_nans: bool = False       # jax_debug_nans: fail fast on NaN/Inf
                                    # (SURVEY.md §6.2 — the sanitizer analog;

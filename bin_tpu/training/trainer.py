@@ -384,7 +384,60 @@ def train(cfg: Config, workdir: str = "runs/latest",
             for old in mine[:-cfg.checkpoint.keep_last_n]:
                 os.remove(os.path.join(loader_dir, old))
 
+    # In-training validation + best-weights tracking (the reference's
+    # per-epoch val + torch.save best, SURVEY.md §4.1): every
+    # log.eval_interval_steps, run a bounded eval pass (log.eval_clips
+    # clips under the preset's eval protocol), log eval_* metrics, and
+    # keep the best-PSNR weights at <workdir>/best.npz.
+    eval_cb = None
+    if cfg.log.eval_interval_steps > 0:
+        from bin_tpu.data.pipeline import eval_clips
+        from bin_tpu.evaluation.evaluator import evaluate
+        from bin_tpu.weights import export_weights
+
+        eh, ew = cfg.data.eval_size
+        n_eval = max(1, cfg.log.eval_clips)
+        ekeys = max(cfg.data.eval_num_keys or 0, cfg.model.window_size + 2)
+        if cfg.data.dataset == "synthetic" or not cfg.data.root:
+            eval_source = SyntheticSource(
+                num_samples=n_eval, num_keys=ekeys, height=eh, width=ew,
+                taps=cfg.data.blur_taps, stride=cfg.data.blur_stride,
+                seed=cfg.data.eval_seed, style=cfg.data.synthetic_style)
+        else:
+            from bin_tpu.data.frames import FrameFolderSource
+            eval_source = FrameFolderSource(
+                cfg.data.root, num_keys=ekeys, resize_to=(eh, ew),
+                clip_list=cfg.data.eval_list)
+        best = {"psnr": float("-inf")}
+        use_ema = cfg.optim.ema_decay > 0
+
+        def eval_cb(step: int, s: TrainState):
+            if jax.process_index() != 0:
+                return  # rank 0 validates; others just proceed
+            params = s.ema_params if (use_ema and s.ema_params is not None) \
+                else s.params
+            if multihost:
+                # host-local copy: evaluate() must not mix process-local
+                # clip arrays with multi-process global params
+                params = jax.tree.map(
+                    lambda x: np.asarray(x.addressable_data(0)), params)
+            results = evaluate(model, params,
+                               eval_clips(eval_source, batch_size=1),
+                               verbose=False)
+            logger.log(step, **{f"eval_{k}": v for k, v in results.items()})
+            p = results.get("psnr_overall", float("-inf"))
+            if p > best["psnr"]:
+                best["psnr"] = p
+                export_weights(
+                    os.path.join(workdir, "best.npz"),
+                    jax.device_get(params), cfg.model,
+                    {"step": int(step), "psnr_overall": float(p),
+                     "preset": cfg.preset, "ema": bool(use_ema),
+                     "eval_clips": n_eval, "eval_size": [eh, ew]})
+
     def save_cb(step: int, s: TrainState):
+        if eval_cb is not None and step % cfg.log.eval_interval_steps == 0:
+            eval_cb(step, s)
         if step % cfg.checkpoint.save_interval_steps == 0:
             save_now(step, s)
 

@@ -199,3 +199,35 @@ def test_grad_accum_matches_unsplit_step():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="divisible"):
         make_train_step(model, cfg3)(jax.tree.map(jnp.copy, state), batch)
+
+
+def test_in_training_eval_and_best_weights(tmp_path):
+    """log.eval_interval_steps: the reference's per-epoch validation + save
+    best (SURVEY.md §4.1) — eval_* metrics land in the JSONL stream and the
+    best-PSNR weights are exported to <workdir>/best.npz with a card."""
+    import json as _json
+    import os
+
+    import numpy as np
+
+    from bin_tpu.config import get_config
+    from bin_tpu.training.trainer import train
+    from bin_tpu.weights import load_weights
+
+    cfg = get_config("config1_backbone_128", [
+        "model.base_features=8", "data.crop_size=32,32", "data.batch_size=2",
+        "data.eval_size=32,32", "data.eval_num_keys=4",
+        "log.eval_interval_steps=4", "log.eval_clips=2",
+        "log.log_interval_steps=4", "checkpoint.save_interval_steps=100"])
+    wd = str(tmp_path / "run")
+    train(cfg, workdir=wd, num_steps=8)
+
+    records = [_json.loads(l) for l in open(os.path.join(wd, "metrics.jsonl"))]
+    evals = [r for r in records if "eval_psnr_overall" in r]
+    assert [r["step"] for r in evals] == [4, 8]
+    assert all(np.isfinite(r["eval_psnr_overall"]) for r in evals)
+
+    params, mc, meta = load_weights(os.path.join(wd, "best.npz"))
+    assert meta["psnr_overall"] == max(r["eval_psnr_overall"] for r in evals)
+    assert meta["step"] in (4, 8) and meta["eval_clips"] == 2
+    assert mc.base_features == 8
