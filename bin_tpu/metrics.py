@@ -78,6 +78,12 @@ def ssim(pred: jax.Array, target: jax.Array, max_val: float = 1.0,
     regardless of input dtype (the 0.05 dB parity budget does not tolerate
     bf16 metric noise).
     """
+    if pred.shape[-3] < window_size or pred.shape[-2] < window_size:
+        # the VALID-windowed maps would be empty and the mean silently NaN
+        # (found by hypothesis, tests/test_properties.py)
+        raise ValueError(
+            f"ssim needs H, W >= window_size ({window_size}); got "
+            f"{pred.shape[-3]}x{pred.shape[-2]}")
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
     batch_shape = pred.shape[:-3]
