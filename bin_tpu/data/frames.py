@@ -162,6 +162,11 @@ class FrameFolderSource:
                  for c in range(frame.shape[-1])], axis=-1).astype(np.float32)
         return frame
 
+    def sample_name(self, i: int) -> str:
+        """Clip identity for eval tables (the reference's per-video rows)."""
+        clip_id, start, _keys = self.index[i]
+        return clip_id if start == 0 else f"{clip_id}@{start}"
+
     def __getitem__(self, i: int) -> dict[str, np.ndarray]:
         clip_id, start, keys = self.index[i]
         b_paths = self.blurry[clip_id][start: start + keys]

@@ -54,6 +54,9 @@ class SyntheticSource:
     def __len__(self) -> int:
         return self.num_samples
 
+    def sample_name(self, i: int) -> str:
+        return f"synth{self.seed}_{i:04d}"
+
     def __getitem__(self, i: int) -> dict[str, np.ndarray]:
         if not 0 <= i < self.num_samples:
             raise IndexError(i)
@@ -154,19 +157,27 @@ def eval_clips(source, batch_size: int = 1) -> Iterator[dict[str, np.ndarray]]:
     trailing partial batches are padded by repeating the last clip of the
     group with a "valid" mask so metrics can ignore padding.
     """
-    def emit(items: list[dict[str, np.ndarray]]):
+    def emit(items: list[tuple[str, dict[str, np.ndarray]]]):
         valid = np.zeros((batch_size,), dtype=bool)
         valid[: len(items)] = True
         items = items + [items[-1]] * (batch_size - len(items))
-        batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        batch = {k: np.stack([it[k] for _, it in items]) for k in items[0][1]}
         batch["valid"] = valid
+        # clip identities ride alongside (NOT stacked): the reference's
+        # eval prints a per-VIDEO table, so names survive batching
+        batch["names"] = [name for name, _ in items]
         return batch
+
+    def name_of(i: int) -> str:
+        if hasattr(source, "sample_name"):
+            return source.sample_name(i)
+        return f"clip{i:04d}"
 
     buffers: dict[tuple, list] = {}
     for i in range(len(source)):  # single pass; <= batch_size items buffered
         item = source[i]          # per distinct clip shape
         buf = buffers.setdefault(item["blurry"].shape, [])
-        buf.append(item)
+        buf.append((name_of(i), item))
         if len(buf) == batch_size:
             yield emit(buf)
             buf.clear()

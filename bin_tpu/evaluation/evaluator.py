@@ -108,11 +108,14 @@ def evaluate(model: Model, params: Any, clips: Iterable[dict[str, np.ndarray]],
         fn, times = fn_cache[key]
         out = fn(params, _put(clip["blurry"]), _put(clip["sharp"]))
         valid = clip.get("valid", np.ones(clip["blurry"].shape[0], bool))
+        names = clip.get("names") or [f"clip{ci:04d}_{bi}"
+                                      for bi in range(clip["blurry"].shape[0])]
+        names = [str(n).replace("/", "_") for n in names]
         if save_dir:
             out, video = out
             for bi in np.nonzero(valid)[0]:
                 save_clip_frames(np.asarray(video[bi]), times,
-                                 save_dir, f"clip{ci:04d}_{bi}")
+                                 save_dir, names[bi])
         out = jax.device_get(out)
         for metric, cats in out.items():
             for cat, vals in cats.items():
@@ -123,10 +126,13 @@ def evaluate(model: Model, params: Any, clips: Iterable[dict[str, np.ndarray]],
                         sums.get(f"{metric}_{cat}", 0.0) + vals.sum())
         count += int(valid.sum())
         if verbose:
-            b0 = {f"{m}_{c}": float(np.asarray(v)[0])
-                  for m, cs in out.items() for c, v in cs.items()}
-            print(f"  clip {ci}: " + "  ".join(
-                f"{k}={v:.3f}" for k, v in b0.items() if np.isfinite(v)))
+            # per-video rows, as the reference's eval table prints them
+            for bi in np.nonzero(valid)[0]:
+                row = {f"{m}_{c}": float(np.asarray(v)[bi])
+                       for m, cs in out.items() for c, v in cs.items()}
+                print(f"  {names[bi]}: " + "  ".join(
+                    f"{k}={v:.3f}" for k, v in row.items()
+                    if np.isfinite(v)))
     results = {k: v / max(count, 1) for k, v in sums.items()}
     if verbose and results:
         print("== mean over {} clips ==".format(count))

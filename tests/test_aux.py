@@ -72,3 +72,36 @@ def test_save_clip_frames(tmp_path):
     from PIL import Image
     arr = np.asarray(Image.open(tmp_path / "clipX" / "t000001.png"))
     np.testing.assert_allclose(arr / 255.0, np.clip(video[0], 0, 1), atol=2e-2)
+
+
+def test_stall_watchdog_exits_91():
+    """Failure-detection subsystem (SURVEY.md §6.3): a run that stops
+    beating must abort the PROCESS with the retryable exit code 91 (queue
+    scripts key on it) — checked end to end in a subprocess."""
+    import subprocess
+    import sys
+
+    code = (
+        "import time\n"
+        "from bin_tpu.training.trainer import StallWatchdog\n"
+        "w = StallWatchdog(0.5)\n"
+        "w.beat()\n"
+        "time.sleep(30)\n"          # no further beats: watchdog must fire
+        "print('should not reach')\n")
+    r = subprocess.run([sys.executable, "-c", code], timeout=120,
+                       capture_output=True, text=True)
+    assert r.returncode == 91, (r.returncode, r.stderr[-500:])
+    assert "should not reach" not in r.stdout
+
+    code_ok = (
+        "import time\n"
+        "from bin_tpu.training.trainer import StallWatchdog\n"
+        "w = StallWatchdog(5.0)\n"
+        "for _ in range(6):\n"
+        "    w.beat(); time.sleep(0.2)\n"
+        "w.stop()\n"
+        "time.sleep(1.0)\n"         # after stop(), no late fire
+        "print('clean exit')\n")
+    r = subprocess.run([sys.executable, "-c", code_ok], timeout=120,
+                       capture_output=True, text=True)
+    assert r.returncode == 0 and "clean exit" in r.stdout
