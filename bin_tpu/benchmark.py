@@ -133,13 +133,22 @@ def load_auto_overrides(path: str | None = None):
     try:
         with open(path) as f:
             spec = json.load(f)
+        if not isinstance(spec, dict) or not isinstance(
+                spec.get("overrides", {}), dict):
+            raise ValueError(f"expected an object with 'overrides', got "
+                             f"{type(spec).__name__}")
         ov = spec.get("overrides", {})
+        strings = []
+        for k, v in ov.items():
+            if not isinstance(k, str) or isinstance(v, (dict, list)):
+                raise ValueError(f"non-scalar override {k!r}={v!r}")
+            strings.append(f"{k}={v}")
         note = {"file": os.path.basename(path),
                 "reason": spec.get("reason", ""), "overrides": ov}
         log(f"applying measurement-gated overrides: {note}")
-        return [f"{k}={v}" for k, v in ov.items()], note
-    except (json.JSONDecodeError, OSError) as e:
-        log(f"ignoring unreadable {path}: {e}")
+        return strings, note
+    except Exception as e:  # an unattended bench must NEVER die on a bad
+        log(f"ignoring unusable {path}: {e}")  # sidecar, whatever the shape
         return [], None
 
 

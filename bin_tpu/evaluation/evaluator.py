@@ -74,7 +74,7 @@ def save_clip_frames(video: np.ndarray, times: np.ndarray, out_dir: str,
 
 def evaluate(model: Model, params: Any, clips: Iterable[dict[str, np.ndarray]],
              verbose: bool = True, save_dir: str = "",
-             plan=None) -> dict[str, float]:
+             plan=None, fn_cache: dict | None = None) -> dict[str, float]:
     """Aggregate PSNR/SSIM over eval clips.
 
     clips yield {"blurry": (B,K,H,W,3), "sharp": (B,2K-1,H,W,3),
@@ -85,6 +85,10 @@ def evaluate(model: Model, params: Any, clips: Iterable[dict[str, np.ndarray]],
     over 'data' (size the batch to plan.num_data) and, with spatial > 1,
     frame height over 'spatial'; params replicated.  Same SPMD rules as
     training (SURVEY.md §6.8).
+
+    ``fn_cache``: pass a persistent dict when calling evaluate()
+    repeatedly (the in-training validation hook does) so the jitted
+    clip-metrics program is built once per clip shape, not once per call.
     """
     if plan is not None:
         params = jax.device_put(params, plan.replicated())
@@ -97,7 +101,7 @@ def evaluate(model: Model, params: Any, clips: Iterable[dict[str, np.ndarray]],
         # device-to-device (two tunnel round trips instead of one)
         return jax.device_put(x, plan.activation(x))
 
-    fn_cache: dict[tuple, Any] = {}
+    fn_cache = {} if fn_cache is None else fn_cache
     sums: dict[str, float] = {}
     count = 0
     for ci, clip in enumerate(clips):

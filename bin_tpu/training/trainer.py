@@ -390,7 +390,18 @@ def train(cfg: Config, workdir: str = "runs/latest",
     # clips under the preset's eval protocol), log eval_* metrics, and
     # keep the best-PSNR weights at <workdir>/best.npz.
     eval_cb = None
-    if cfg.log.eval_interval_steps > 0:
+    if cfg.log.eval_interval_steps > 0 and multihost:
+        # Rank 0 running a minutes-long eval while every other rank sits at
+        # the collective Orbax save barrier stalls all hosts per interval
+        # (and risks the barrier timeout on the first eval compile) —
+        # validate offline with bin-tpu-eval on multi-host runs instead.
+        import warnings
+        warnings.warn("log.eval_interval_steps is disabled under multi-host "
+                      "training (collective-save barrier would stall on "
+                      "rank 0's eval); run bin-tpu-eval offline", stacklevel=2)
+    elif cfg.log.eval_interval_steps > 0:
+        import itertools
+
         from bin_tpu.data.pipeline import eval_clips
         from bin_tpu.evaluation.evaluator import evaluate
         from bin_tpu.weights import export_weights
@@ -409,28 +420,33 @@ def train(cfg: Config, workdir: str = "runs/latest",
                 cfg.data.root, num_keys=ekeys, resize_to=(eh, ew),
                 clip_list=cfg.data.eval_list)
         best = {"psnr": float("-inf")}
+        best_path = os.path.join(workdir, "best.npz")
+        if os.path.exists(best_path):
+            # resume: seed the threshold from the existing card so a worse
+            # post-resume eval can't overwrite the real best weights
+            from bin_tpu.weights import read_card
+            try:
+                best["psnr"] = float(
+                    read_card(best_path)["metadata"]["psnr_overall"])
+            except Exception:  # unreadable card: keep -inf, overwrite
+                pass
         use_ema = cfg.optim.ema_decay > 0
+        _fn_cache: dict = {}  # persists across intervals: no per-eval rejit
 
         def eval_cb(step: int, s: TrainState):
-            if jax.process_index() != 0:
-                return  # rank 0 validates; others just proceed
             params = s.ema_params if (use_ema and s.ema_params is not None) \
                 else s.params
-            if multihost:
-                # host-local copy: evaluate() must not mix process-local
-                # clip arrays with multi-process global params
-                params = jax.tree.map(
-                    lambda x: np.asarray(x.addressable_data(0)), params)
-            results = evaluate(model, params,
-                               eval_clips(eval_source, batch_size=1),
-                               verbose=False)
+            results = evaluate(
+                model, params,
+                itertools.islice(  # bound folder datasets to n_eval clips
+                    eval_clips(eval_source, batch_size=1), n_eval),
+                verbose=False, fn_cache=_fn_cache)
             logger.log(step, **{f"eval_{k}": v for k, v in results.items()})
             p = results.get("psnr_overall", float("-inf"))
             if p > best["psnr"]:
                 best["psnr"] = p
                 export_weights(
-                    os.path.join(workdir, "best.npz"),
-                    jax.device_get(params), cfg.model,
+                    best_path, jax.device_get(params), cfg.model,
                     {"step": int(step), "psnr_overall": float(p),
                      "preset": cfg.preset, "ema": bool(use_ema),
                      "eval_clips": n_eval, "eval_size": [eh, ew]})

@@ -64,6 +64,14 @@ def export_weights(path: str, params: Any, model_cfg: ModelConfig,
     np.savez(path, **flat)
 
 
+def read_card(path: str) -> dict:
+    """Read ONLY the embedded model card of a released-weights .npz —
+    npz members load lazily, so this costs one small zip entry, not the
+    (possibly hundreds of MB) parameter arrays."""
+    with np.load(path) as data:
+        return json.loads(bytes(data[_CARD_KEY]).decode("utf-8"))
+
+
 def load_weights(path: str) -> tuple[dict, ModelConfig, dict]:
     """Read a weights file -> (params, ModelConfig, metadata)."""
     data = np.load(path)

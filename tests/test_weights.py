@@ -77,3 +77,23 @@ def test_restore_params_accepts_npz(tmp_path):
     restored = restore_params(path)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_read_card_light(tmp_path):
+    """read_card returns the embedded card without loading param arrays."""
+    import dataclasses
+
+    import jax
+
+    from bin_tpu.config import get_config
+    from bin_tpu.registry import build_model
+    from bin_tpu.weights import export_weights, read_card
+
+    cfg = get_config("config1_backbone_128", ["model.base_features=8"])
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0), batch=1, height=32, width=32)
+    p = str(tmp_path / "w.npz")
+    export_weights(p, params, cfg.model, {"psnr_overall": 12.34, "step": 7})
+    card = read_card(p)
+    assert card["metadata"]["psnr_overall"] == 12.34
+    assert card["model"]["base_features"] == 8

@@ -7,12 +7,16 @@ Measured on this host (1-core CPU, ~35 min): gap 0.759 dB -> 0.155 dB
 chip-scale 2k-step fine-tune (tools/round3_queue8.sh).  Run:
   python tools/qat_value_experiment.py
 """
+import dataclasses
+
+import jax
+jax.config.update("jax_platforms", "cpu")
 import numpy as np, jax.numpy as jnp
 from bin_tpu.config import get_config
 from bin_tpu.registry import build_model
 from bin_tpu.training.state import create_train_state
 from bin_tpu.training.trainer import make_train_step
-from bin_tpu.data.pipeline import SyntheticSource, train_iterator
+from bin_tpu.data.pipeline import SyntheticSource
 from bin_tpu.evaluation.evaluator import clip_metrics_fn
 
 ov = ["model.base_features=16", "model.num_res_blocks=1",

@@ -64,6 +64,9 @@ fi
 # (restore_params picks it) and record the step it reached, rather than
 # gating everything on the full 50k having finished.
 LATEST=$(ls -1 runs/prf_ext50k/checkpoints 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1)
+# NOTE: queue7 and queue8 are ALSO chained at the end of this script (see
+# bottom) so the pipeline is complete on disk — the session-3 external
+# waiter processes double as backup and no-op when outputs already exist.
 if [ -n "${LATEST:-}" ]; then
   if [ ! -f runs/prf_ext50k/DONE ]; then
     echo "--- PARTIAL run: evals at step $LATEST / 50000 $(date -u)" >> "$LOG"
@@ -96,4 +99,13 @@ if [ -n "${LATEST:-}" ]; then
       >> "$LOG" 2>&1; step "export_ext50k_ema" $?
   fi
 fi
+
+# Complete the pipeline ON DISK (review finding: the early-return path
+# previously relied on external waiter processes that wouldn't survive a
+# host restart): always chain the s2d_pallas bench A/B and the QAT
+# fine-tune.  Both scripts are idempotent (output-file / DONE guards) and
+# carry their own start deadlines, so double invocation — here and by the
+# session-3 waiters — is a no-op for whichever runs second.
+bash tools/round3_queue7.sh
+bash tools/round3_queue8.sh
 echo "=== queue6b end $(date -u)" >> "$LOG"
