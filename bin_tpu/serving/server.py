@@ -67,10 +67,20 @@ class FrameServer:
     reusable behind other fronts (gRPC, a batcher, ...).
     """
 
-    def __init__(self, model, params, max_streams: int = 4):
+    def __init__(self, model, params, max_streams: int = 4, spatial: int = 1):
+        """``spatial`` > 1: shard every stream's activation HEIGHT over that
+        many chips (MeshPlan with data=1 x spatial=N) — the single-stream
+        latency lever; per-stream batching stays 1 (one 720p stream already
+        saturates one chip, BASELINE.md)."""
         self.model = model
         self.params = params
         self.max_streams = max_streams
+        self._plan = None
+        if spatial > 1:
+            from bin_tpu.config import ParallelConfig
+            from bin_tpu.parallel.mesh import make_mesh
+            self._plan = make_mesh(ParallelConfig(data_axis_size=1,
+                                                  spatial_axis_size=spatial))
         self._streams: dict[str, _Stream] = {}
         self._lock = threading.Lock()
 
@@ -91,7 +101,8 @@ class FrameServer:
         try:
             session = StreamingSession(self.model, self.params, batch=1,
                                        height=height, width=width,
-                                       emit_u8=True, async_drain=True)
+                                       emit_u8=True, async_drain=True,
+                                       plan=self._plan)
         except BaseException:
             with self._lock:
                 self._streams.pop(sid, None)
@@ -252,6 +263,9 @@ def serve_main(argv: list[str] | None = None) -> None:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8950)
     p.add_argument("--max-streams", type=int, default=4)
+    p.add_argument("--spatial", type=int, default=1,
+                   help="shard each stream's frame height over N chips "
+                        "(single-stream latency lever; needs N devices)")
     p.add_argument("--platform", default=None, metavar="BACKEND",
                    help="force the JAX backend in-process (e.g. cpu)")
     args = p.parse_args(argv)
@@ -263,7 +277,8 @@ def serve_main(argv: list[str] | None = None) -> None:
 
     params, model_cfg, meta = load_weights(args.weights)
     model = build_model(model_cfg)
-    server = FrameServer(model, params, max_streams=args.max_streams)
+    server = FrameServer(model, params, max_streams=args.max_streams,
+                         spatial=args.spatial)
     httpd = make_http_server(server, args.host, args.port)
     print(f"bin-tpu-serve: model={model_cfg.name} "
           f"window={model_cfg.window_size} on http://{args.host}:{args.port} "

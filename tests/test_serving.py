@@ -194,3 +194,25 @@ def test_close_stops_fetch_thread_and_rejects_late_push(served):
     assert resp.status == 400
     resp.read()
     conn.close()
+
+
+def test_spatial_sharded_server_matches_plain():
+    """FrameServer(spatial=4): each stream's height sharded over 4 fake
+    devices must deliver the same frames as the unsharded server."""
+    model, params = _tiny_model()
+    frames = _frames()
+
+    plain = FrameServer(model, params)
+    sharded = FrameServer(model, params, spatial=4)
+    outs = []
+    for server in (plain, sharded):
+        sid = server.create_stream(H, W)
+        got = {}
+        for f in frames:
+            got.update({t: fr for t, fr in server.push(sid, f)})
+        got.update({t: fr for t, fr in server.close(sid)})
+        outs.append(got)
+    a, b = outs
+    assert sorted(a) == sorted(b)
+    for t in a:
+        np.testing.assert_array_equal(a[t], b[t])
