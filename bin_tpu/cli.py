@@ -102,11 +102,16 @@ def export_main(argv: list[str] | None = None) -> None:
         "--note": dict(default="", help="free-form metadata note"),
         "--ema": dict(action="store_true",
                       help="export the EMA params (optim.ema_decay runs)"),
+        "--store-dtype": dict(default=None, metavar="DTYPE",
+                              help="storage dtype for float leaves (e.g. "
+                                   "float16 halves the file; load_weights "
+                                   "upcasts back to float32)"),
     })
     params = restore_params(args.checkpoint, ema=args.ema)
     export_weights(args.out, params, cfg.model,
                    metadata={"preset": cfg.preset, "note": args.note,
-                             **({"ema": True} if args.ema else {})})
+                             **({"ema": True} if args.ema else {})},
+                   store_dtype=args.store_dtype)
     print(f"wrote {args.out}")
 
 

@@ -54,11 +54,27 @@ def _unflatten(flat: dict[str, np.ndarray]) -> dict:
 
 
 def export_weights(path: str, params: Any, model_cfg: ModelConfig,
-                   metadata: dict | None = None) -> None:
-    """Write params + model card to ``path`` (.npz)."""
+                   metadata: dict | None = None,
+                   store_dtype: str | None = None) -> None:
+    """Write params + model card to ``path`` (.npz).
+
+    ``store_dtype`` (e.g. ``"float16"``) downcasts floating-point leaves for
+    storage only — ``load_weights`` upcasts back to float32, and the card
+    records the storage dtype so the round trip is self-documenting.  fp16
+    storage halves the file (conv weights sit well inside fp16 range after
+    grad clipping; the measured eval delta is recorded in BASELINE.md) and
+    is what makes the released weights small enough to version in-repo.
+    """
     card = {"model": dataclasses.asdict(model_cfg), "metadata": metadata or {},
             "ops_version": OPS_VERSION}
     flat = _flatten(params)
+    if store_dtype is not None:
+        dt = np.dtype(store_dtype)
+        if dt.kind != "f":
+            raise ValueError(f"store_dtype must be floating, got {store_dtype}")
+        flat = {k: v.astype(dt) if v.dtype.kind == "f" else v
+                for k, v in flat.items()}
+        card["store_dtype"] = dt.name
     flat[_CARD_KEY] = np.frombuffer(
         json.dumps(card).encode("utf-8"), dtype=np.uint8)
     np.savez(path, **flat)
@@ -83,6 +99,9 @@ def load_weights(path: str) -> tuple[dict, ModelConfig, dict]:
               "differ from the scores recorded at export time (see "
               "bin_tpu/weights.py OPS_VERSION history)")
     flat = {k: data[k] for k in data.files if k != _CARD_KEY}
+    if card.get("store_dtype"):  # storage-only downcast: restore float32
+        flat = {k: v.astype(np.float32) if v.dtype.kind == "f" else v
+                for k, v in flat.items()}
     mc = card["model"]
     # JSON round-trips tuples as lists; restore every tuple-typed
     # ModelConfig field (derived from the annotations, not a literal list,

@@ -41,6 +41,38 @@ def test_export_load_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
 
 
+def test_export_float16_storage_roundtrip(tmp_path):
+    """fp16 storage halves the file; load upcasts every float leaf back to
+    float32 and the card records the storage dtype (what lets the released
+    weights live in-repo)."""
+    model = build_model(SMALL)
+    params = model.init(jax.random.key(0))
+    p32 = str(tmp_path / "w32.npz")
+    p16 = str(tmp_path / "w16.npz")
+    export_weights(p32, params, SMALL)
+    export_weights(p16, params, SMALL, store_dtype="float16")
+    assert os.path.getsize(p16) < 0.6 * os.path.getsize(p32)
+
+    from bin_tpu.weights import read_card
+    assert read_card(p16)["store_dtype"] == "float16"
+    assert "store_dtype" not in read_card(p32)
+
+    params16, cfg2, _ = load_weights(p16)
+    assert cfg2 == build_model(SMALL).cfg
+    for (pth, a), (_, b) in zip(
+            sorted(jax.tree.leaves_with_path(params), key=lambda x: str(x[0])),
+            sorted(jax.tree.leaves_with_path(params16), key=lambda x: str(x[0]))):
+        b = np.asarray(b)
+        assert b.dtype == np.float32, pth
+        np.testing.assert_array_equal(
+            np.asarray(a).astype(np.float16).astype(np.float32), b)
+
+    import pytest
+    with pytest.raises(ValueError):
+        export_weights(str(tmp_path / "bad.npz"), params, SMALL,
+                       store_dtype="int8")
+
+
 def test_demo_cli_consumes_weights(tmp_path):
     from bin_tpu.cli import demo_main
 
