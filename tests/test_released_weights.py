@@ -1,0 +1,51 @@
+"""In-repo released weights stay loadable.
+
+The reference ships pretrained state_dict files in its repo (SURVEY.md
+§3.2 'Model factory' load-pretrained); bin-tpu versions its release .npz
+files under weights/ (fp16 storage, see bin_tpu/weights.py).  This guard
+makes a stale release impossible to miss: every committed weights file
+must carry a readable model card, the CURRENT ops_version, and a param
+tree that matches what the card's model config builds today.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from bin_tpu.registry import build_model
+from bin_tpu.weights import OPS_VERSION, load_weights, read_card
+
+WEIGHTS = sorted(glob.glob(
+    os.path.join(os.path.dirname(__file__), "..", "weights", "*.npz")))
+
+pytestmark = pytest.mark.skipif(
+    not WEIGHTS, reason="no release weights committed in this checkout")
+
+
+@pytest.mark.parametrize("path", WEIGHTS, ids=os.path.basename)
+def test_release_card_is_current(path):
+    card = read_card(path)
+    assert card["ops_version"] == OPS_VERSION, (
+        f"{path} was exported under ops_version {card['ops_version']}; "
+        f"current ops are {OPS_VERSION} — re-export or document the drift")
+    assert card["metadata"].get("preset"), "card must name its preset"
+
+
+@pytest.mark.parametrize("path", WEIGHTS, ids=os.path.basename)
+def test_release_matches_model_init_tree(path):
+    params, model_cfg, _meta = load_weights(path)
+    model = build_model(model_cfg)
+    want = model.init(jax.random.key(0))
+    got_paths = {str(p) for p, _ in jax.tree.leaves_with_path(params)}
+    want_paths = {str(p) for p, _ in jax.tree.leaves_with_path(want)}
+    assert got_paths == want_paths
+    for (p, a), (_, b) in zip(
+            sorted(jax.tree.leaves_with_path(params), key=lambda x: str(x[0])),
+            sorted(jax.tree.leaves_with_path(want), key=lambda x: str(x[0]))):
+        assert np.asarray(a).shape == np.asarray(b).shape, p
+        assert np.asarray(a).dtype == np.float32, p  # load upcasts storage
+        assert np.all(np.isfinite(np.asarray(a))), p
