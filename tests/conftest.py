@@ -13,6 +13,27 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
 
+# Build the native host-data-path extension (bin_tpu._fastops) if this
+# checkout doesn't have it yet: *.so is never committed, so a fresh clone
+# starts without it and test_fastops.py::test_native_extension_built would
+# fail.  Building here — before any test imports bin_tpu.data.fastops —
+# means the import inside the package sees the freshly built module.
+def _ensure_native_extension() -> None:
+    import importlib.util
+    import subprocess
+    import sys
+
+    if importlib.util.find_spec("bin_tpu._fastops") is not None:
+        return
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, "setup.py", "build_ext", "--inplace"],
+        cwd=repo, check=True, capture_output=True, timeout=600)
+    importlib.invalidate_caches()
+
+
+_ensure_native_extension()
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
