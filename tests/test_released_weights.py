@@ -22,6 +22,12 @@ from bin_tpu.weights import OPS_VERSION, load_weights, read_card
 WEIGHTS = sorted(glob.glob(
     os.path.join(os.path.dirname(__file__), "..", "weights", "*.npz")))
 
+# Releases exported before the quality-provenance guard existed (VERDICT r3
+# weak #3).  Legacy entries are tolerated until replaced — do NOT add new
+# releases here: every new export must carry its eval record
+# (bin-tpu-export --eval-json).
+LEGACY_NO_QUALITY = {"prf_ext10k_ema_r3.npz"}
+
 pytestmark = pytest.mark.skipif(
     not WEIGHTS, reason="no release weights committed in this checkout")
 
@@ -31,8 +37,28 @@ def test_release_card_is_current(path):
     card = read_card(path)
     assert card["ops_version"] == OPS_VERSION, (
         f"{path} was exported under ops_version {card['ops_version']}; "
-        f"current ops are {OPS_VERSION} — re-export or document the drift")
+        f"current ops are {OPS_VERSION} — revalidate the pinned eval under "
+        "the new ops and update the sidecar card (bin_tpu.weights."
+        "update_card, metadata.ops_reval) or re-export")
     assert card["metadata"].get("preset"), "card must name its preset"
+
+
+@pytest.mark.parametrize("path", WEIGHTS, ids=os.path.basename)
+def test_release_card_carries_quality_provenance(path):
+    """A committed release must state what it scores and under which
+    protocol (VERDICT r3: the round-3 release shipped with NO recorded
+    quality — headline numbers cited artifacts that no longer existed)."""
+    if os.path.basename(path) in LEGACY_NO_QUALITY:
+        pytest.skip("legacy pre-provenance release (to be replaced)")
+    meta = read_card(path)["metadata"]
+    assert isinstance(meta.get("psnr_overall"), float) and \
+        np.isfinite(meta["psnr_overall"]), "card must record psnr_overall"
+    assert isinstance(meta.get("ssim_overall"), float), \
+        "card must record ssim_overall"
+    proto = meta.get("eval_protocol")
+    assert isinstance(proto, dict) and {"size", "clips", "keys", "seed",
+                                        "dtype", "params"} <= set(proto), \
+        "card must record the full eval protocol"
 
 
 @pytest.mark.parametrize("path", WEIGHTS, ids=os.path.basename)

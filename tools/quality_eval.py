@@ -67,7 +67,18 @@ def main():
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     ap.add_argument("--ema", action="store_true",
                     help="evaluate the EMA params (optim.ema_decay runs)")
+    ap.add_argument("--json-out", default="",
+                    help="also write a machine-readable eval record here "
+                         "(protocol + model + baseline metrics) — the file "
+                         "bin-tpu-export --eval-json folds into the released "
+                         "model card (quality provenance, VERDICT r3)")
+    ap.add_argument("--platform", default=None, metavar="BACKEND",
+                    help="force the JAX backend in-process (e.g. cpu); env "
+                         "fallback BIN_TPU_PLATFORM — same contract as the "
+                         "package CLIs (bin_tpu/cli.py)")
     args = ap.parse_args()
+    from bin_tpu.cli import _apply_platform
+    _apply_platform(args.platform)
 
     cfg = get_config(args.preset, args.overrides)
     model = build_model(cfg)
@@ -93,6 +104,21 @@ def main():
 
     results = evaluate(model, params, eval_clips(source, batch_size=1))
     print(json.dumps({"model": results, "baseline": base}, default=float))
+    if args.json_out:
+        record = {
+            "protocol": {"size": [h, w], "clips": args.clips,
+                         "keys": args.keys, "seed": cfg.data.eval_seed,
+                         "style": args.style or cfg.data.synthetic_style,
+                         "dtype": cfg.model.dtype,
+                         "params": "ema" if args.ema else "raw"},
+            "preset": args.preset, "overrides": args.overrides,
+            "checkpoint": args.checkpoint,
+            "model": {k: float(v) for k, v in results.items()},
+            "baseline": {k: float(v) for k, v in base.items()},
+        }
+        with open(args.json_out, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"wrote {args.json_out}")
 
 
 if __name__ == "__main__":
