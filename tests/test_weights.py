@@ -129,3 +129,84 @@ def test_read_card_light(tmp_path):
     card = read_card(p)
     assert card["metadata"]["psnr_overall"] == 12.34
     assert card["model"]["base_features"] == 8
+
+
+def test_sidecar_card_and_update(tmp_path):
+    """The model card is mirrored to a sidecar JSON; update_card rewrites
+    ONLY the sidecar (the npz blob stays byte-identical — the property that
+    keeps git history from growing per card change, ADVICE r3)."""
+    from bin_tpu.weights import card_path, read_card, update_card
+
+    model = build_model(SMALL)
+    params = model.init(jax.random.key(0))
+    path = str(tmp_path / "w.npz")
+    export_weights(path, params, SMALL, metadata={"preset": "test"})
+
+    side = card_path(path)
+    assert os.path.exists(side)
+    with open(path, "rb") as f:
+        blob_before = f.read()
+
+    card = update_card(path, metadata={"psnr_overall": 28.5},
+                       ops_version=99)
+    assert card["metadata"]["psnr_overall"] == 28.5
+    assert card["metadata"]["preset"] == "test"   # merged, not replaced
+    assert card["ops_version"] == 99              # top-level replaced
+    with open(path, "rb") as f:
+        assert f.read() == blob_before, "update_card must not touch the npz"
+
+    # read_card prefers the sidecar; load_weights sees the updated metadata
+    assert read_card(path)["ops_version"] == 99
+    _, _, meta = load_weights(path)
+    assert meta["psnr_overall"] == 28.5
+
+    # without the sidecar, the embedded card still serves (portability)
+    os.remove(side)
+    assert read_card(path)["ops_version"] != 99
+
+
+def test_export_cli_folds_eval_record_into_card(tmp_path):
+    """bin-tpu-export --eval-json puts the eval's numbers + protocol into
+    the card metadata — the provenance the release guard test enforces."""
+    import json
+
+    from bin_tpu.weights import read_card
+
+    # a released .npz doubles as the "checkpoint" (restore_params accepts it)
+    model = build_model(SMALL)
+    params = model.init(jax.random.key(0))
+    ckpt = str(tmp_path / "ckpt.npz")
+    export_weights(ckpt, params, SMALL, metadata={"preset": "test"})
+
+    ev = tmp_path / "eval.json"
+    ev.write_text(json.dumps({
+        "protocol": {"size": [64, 64], "clips": 1, "keys": 6, "seed": 9999,
+                     "style": "textured", "dtype": "float32", "params": "raw"},
+        "model": {"psnr_overall": 28.1234, "ssim_overall": 0.7999},
+        "baseline": {"psnr_overall": 25.0},
+    }))
+    out = str(tmp_path / "release.npz")
+    from bin_tpu.cli import export_main
+    export_main(["--preset", "config1_backbone_128", "--platform", "cpu",
+                 "--set", "model.base_features=8",
+                 "--checkpoint", ckpt, "--out", out,
+                 "--eval-json", str(ev)])
+    meta = read_card(out)["metadata"]
+    assert meta["psnr_overall"] == 28.1234
+    assert meta["ssim_overall"] == 0.7999
+    assert meta["eval_protocol"]["size"] == [64, 64]
+    assert meta["evals"][0]["baseline"]["psnr_overall"] == 25.0
+
+
+def test_export_rejects_nonfloat32_tree_with_store_dtype(tmp_path):
+    """store_dtype's load-time upcast to float32 is only lossless for an
+    all-float32 tree; anything else must be refused, not silently retyped
+    (ADVICE r3)."""
+    import pytest
+
+    model = build_model(SMALL)
+    params = jax.tree.map(lambda x: np.asarray(x, np.float16),
+                          model.init(jax.random.key(0)))
+    with pytest.raises(ValueError, match="float32"):
+        export_weights(str(tmp_path / "w.npz"), params, SMALL,
+                       store_dtype="float16")
