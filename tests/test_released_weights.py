@@ -25,8 +25,9 @@ WEIGHTS = sorted(glob.glob(
 # Releases exported before the quality-provenance guard existed (VERDICT r3
 # weak #3).  Legacy entries are tolerated until replaced — do NOT add new
 # releases here: every new export must carry its eval record
-# (bin-tpu-export --eval-json).
-LEGACY_NO_QUALITY = {"prf_ext10k_ema_r3.npz"}
+# (bin-tpu-export --eval-json).  Empty since round 4 retired the last
+# pre-provenance release (prf_ext10k_ema_r3.npz).
+LEGACY_NO_QUALITY = set()
 
 pytestmark = pytest.mark.skipif(
     not WEIGHTS, reason="no release weights committed in this checkout")

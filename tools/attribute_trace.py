@@ -230,6 +230,13 @@ def main():
     p.add_argument("--s2d-via-conv", action="store_true",
                    help="trace with model.s2d_via_conv=true (input pack as "
                         "one-hot strided conv instead of transpose)")
+    p.add_argument("--int8", action="store_true",
+                   help="trace the int8 serving graph (model.conv_int8=true) "
+                        "instead of pure bf16 — the bench default is scoped "
+                        "int8, so this is the graph the fps record runs")
+    p.add_argument("--int8-min-cin", type=int, default=0,
+                   help="model.conv_int8_min_cin for --int8 (bench default "
+                        "serving scope is 256)")
     args = p.parse_args()
 
     import numpy as np
@@ -242,7 +249,9 @@ def main():
     enable_persistent_cache()
     cfg = ModelConfig(name="prf", base_features=args.base,
                       stem_factor=args.stem, dtype="bfloat16",
-                      s2d_via_conv=args.s2d_via_conv)
+                      s2d_via_conv=args.s2d_via_conv,
+                      conv_int8=args.int8,
+                      conv_int8_min_cin=args.int8_min_cin)
     model = build_model(cfg)
     params = model.init(jax.random.key(0), batch=1, height=64, width=64)
     rng = np.random.default_rng(0)

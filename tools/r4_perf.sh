@@ -19,4 +19,19 @@ run_step serving_http 3600 runs/serving_http_r4.json \
   python tools/bench_serving_http.py --streams 2 --keys 16 \
     ${SERVING_WEIGHTS:+--weights "$SERVING_WEIGHTS"}
 
+#   4. per-op traces of the record architecture (stem-2/base-128) in both
+#      the int8 serving graph (what the fps record runs) and pure bf16 —
+#      the committed artifact behind BASELINE.md's attribution table (the
+#      round-3 trace was lost to the VM reset; the "~18 ms long tail" dig
+#      needs this data on record).
+run_step trace_stem2_int8 3600 runs/trace_r4_stem2_int8.txt \
+  python tools/attribute_trace.py --stem 2 --base 128 --top 60 \
+    --int8 --int8-min-cin 256 --json runs/trace_r4_stem2_int8.json
+run_step trace_stem2_bf16 3600 runs/trace_r4_stem2_bf16.txt \
+  python tools/attribute_trace.py --stem 2 --base 128 --top 60 \
+    --json runs/trace_r4_stem2_bf16.json
+run_step trace_stem2_int8all 3600 runs/trace_r4_stem2_int8all.txt \
+  python tools/attribute_trace.py --stem 2 --base 128 --top 60 \
+    --int8 --json runs/trace_r4_stem2_int8all.json
+
 echo "=== r4_perf done $(date -u)" >> "$QUEUE_LOG"
