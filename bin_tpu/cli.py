@@ -74,9 +74,15 @@ def eval_main(argv: list[str] | None = None) -> None:
         "--save-dir": dict(default="", help="write output frames as PNGs here"),
         "--ema": dict(action="store_true",
                       help="evaluate the EMA params (optim.ema_decay runs)"),
+        "--self-ensemble": dict(action="store_true",
+                                help="test-time augmentation: average the 4 "
+                                     "spatial-flip predictions (4x compute; "
+                                     "NOT protocol-comparable with plain "
+                                     "evals)"),
     })
     evaluate_cli(cfg, checkpoint=args.checkpoint, num_clips=args.num_clips,
-                 save_dir=args.save_dir, ema=args.ema)
+                 save_dir=args.save_dir, ema=args.ema,
+                 self_ensemble=args.self_ensemble)
 
 
 def bench_main(argv: list[str] | None = None) -> None:

@@ -25,24 +25,54 @@ from bin_tpu.registry import Model, build_model
 __all__ = ["evaluate", "evaluate_cli", "clip_metrics_fn"]
 
 
-def clip_metrics_fn(model: Model, num_keys: int, return_video: bool = False):
+def clip_metrics_fn(model: Model, num_keys: int, return_video: bool = False,
+                    self_ensemble: bool = False):
     """Jitted (params, blurry, sharp) → per-category (psnr, ssim) means.
 
     Compiled once per (num_keys, H, W) clip shape; fp32 internally (the
     0.05 dB parity budget — SURVEY.md §8 parity trap #2).  With
     ``return_video`` the assembled clip is returned too, so frame-dump runs
     don't re-run the clip scan in a second program.
+
+    ``self_ensemble``: test-time augmentation over the 4 spatial flips
+    (none / H / W / both): infer each flipped clip, unflip, average in
+    fp32.  4x eval compute for a pure quality gain — an eval-mode option
+    the reference does not have (standard restoration TTA, e.g. EDSR's
+    geometric self-ensemble).  Temporal reversal is deliberately excluded:
+    the ConvLSTM recurrence is causal, so time-flip is not a symmetry of
+    the model.  Results are NOT protocol-comparable with plain evals —
+    callers must record the flag (quality_eval writes it into the
+    protocol dict).
     """
     plan = recurrent.assembly_plan(num_keys, model.cfg.window_size,
                                    model.num_levels_total)
     times = np.asarray(sorted(plan))
     interp_mask = jnp.asarray(times % 2 == 1)
 
+    def infer(params, blurry):
+        if not self_ensemble:
+            return model.infer_clip(params, blurry)[0]
+        acc = None
+        for flip_h in (False, True):
+            for flip_w in (False, True):
+                x = blurry
+                if flip_h:
+                    x = x[:, :, ::-1]
+                if flip_w:
+                    x = x[:, :, :, ::-1]
+                v = model.infer_clip(params, x)[0].astype(jnp.float32)
+                if flip_h:
+                    v = v[:, :, ::-1]
+                if flip_w:
+                    v = v[:, :, :, ::-1]
+                acc = v if acc is None else acc + v
+        return acc / 4.0
+
     @jax.jit
     def fn(params, blurry, sharp):
-        video, _ = model.infer_clip(params, blurry)
+        video = infer(params, blurry)
         gt = sharp[:, jnp.asarray(times)]
-        video = jnp.clip(video, 0.0, 1.0)
+        video = jnp.clip(video.astype(jnp.float32), 0.0, 1.0)
         p = psnr(video, gt)            # (B, T)
         s = ssim(video, gt)
         def split(x):
@@ -74,7 +104,8 @@ def save_clip_frames(video: np.ndarray, times: np.ndarray, out_dir: str,
 
 def evaluate(model: Model, params: Any, clips: Iterable[dict[str, np.ndarray]],
              verbose: bool = True, save_dir: str = "",
-             plan=None, fn_cache: dict | None = None) -> dict[str, float]:
+             plan=None, fn_cache: dict | None = None,
+             self_ensemble: bool = False) -> dict[str, float]:
     """Aggregate PSNR/SSIM over eval clips.
 
     clips yield {"blurry": (B,K,H,W,3), "sharp": (B,2K-1,H,W,3),
@@ -105,10 +136,13 @@ def evaluate(model: Model, params: Any, clips: Iterable[dict[str, np.ndarray]],
     sums: dict[str, float] = {}
     count = 0
     for ci, clip in enumerate(clips):
-        key = clip["blurry"].shape[1:4]
+        # cache key includes the program-shaping flags — a persistent
+        # fn_cache may be reused across calls with different options
+        key = (clip["blurry"].shape[1:4], bool(save_dir), self_ensemble)
         if key not in fn_cache:
             fn_cache[key] = clip_metrics_fn(model, clip["blurry"].shape[1],
-                                            return_video=bool(save_dir))
+                                            return_video=bool(save_dir),
+                                            self_ensemble=self_ensemble)
         fn, times = fn_cache[key]
         out = fn(params, _put(clip["blurry"]), _put(clip["sharp"]))
         valid = clip.get("valid", np.ones(clip["blurry"].shape[0], bool))
@@ -146,7 +180,8 @@ def evaluate(model: Model, params: Any, clips: Iterable[dict[str, np.ndarray]],
 
 
 def evaluate_cli(cfg: Config, checkpoint: str = "", num_clips: int | None = None,
-                 save_dir: str = "", ema: bool = False) -> dict:
+                 save_dir: str = "", ema: bool = False,
+                 self_ensemble: bool = False) -> dict:
     """Evaluate under the config's PINNED protocol: eval_num_clips clips of
     eval_num_keys keys at eval_size from the held-out eval_seed stream —
     numbers are comparable across rounds for the same preset."""
@@ -189,6 +224,7 @@ def evaluate_cli(cfg: Config, checkpoint: str = "", num_clips: int | None = None
     print(f"eval protocol: preset={cfg.preset} size={h}x{w} "
           f"clips={num_clips} keys={'whole' if whole_clips else num_keys} "
           f"seed={cfg.data.eval_seed} dtype={cfg.model.dtype}"
+          + (" self_ensemble=x4" if self_ensemble else "")
           + (f" [OFF-PROTOCOL: {','.join(off)}]" if off else ""))
     if cfg.data.dataset == "synthetic" or not cfg.data.root:
         source = SyntheticSource(num_samples=num_clips, num_keys=num_keys,
@@ -214,4 +250,5 @@ def evaluate_cli(cfg: Config, checkpoint: str = "", num_clips: int | None = None
                 f"({plan.num_spatial}) — pick eval_size or spatial_axis_size "
                 "accordingly")
     return evaluate(model, params, eval_clips(source, batch_size=batch),
-                    save_dir=save_dir, plan=plan)
+                    save_dir=save_dir, plan=plan,
+                    self_ensemble=self_ensemble)

@@ -105,3 +105,80 @@ def test_stall_watchdog_exits_91():
     r = subprocess.run([sys.executable, "-c", code_ok], timeout=120,
                        capture_output=True, text=True)
     assert r.returncode == 0 and "clean exit" in r.stdout
+
+
+def _desymmetrize(params):
+    """Jitter every param leaf: a FRESH-init model is exactly
+    flip-equivariant (the synthesis tail is zero-initialized, so it outputs
+    the average of its two input frames) — TTA would bit-equal the plain
+    eval and the tests below would vacuously pass/fail.  Noise breaks the
+    symmetry the way training does."""
+    leaves, treedef = jax.tree.flatten(params)
+    rng = np.random.default_rng(1234)
+    leaves = [np.asarray(l) + 0.02 * rng.standard_normal(np.shape(l)).astype(np.float32)
+              for l in leaves]
+    return jax.tree.unflatten(treedef, [jnp.asarray(l) for l in leaves])
+
+
+def test_self_ensemble_is_mean_of_unflipped_variants():
+    """TTA eval must equal the hand-computed mean over the 4 spatial-flip
+    passes of infer_clip — exact construction, no tolerance slack beyond
+    float accumulation order."""
+    from bin_tpu.evaluation.evaluator import clip_metrics_fn
+
+    cfg = ModelConfig(name="prf", base_features=8, num_res_blocks=1,
+                      convlstm_features=16, stem_factor=1)
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0), batch=1, height=32, width=32)
+    params = _desymmetrize(params)
+    rng = np.random.default_rng(1)
+    blurry = jnp.asarray(rng.uniform(0, 1, (1, 6, 32, 32, 3)).astype(np.float32))
+    sharp = jnp.asarray(rng.uniform(0, 1, (1, 11, 32, 32, 3)).astype(np.float32))
+
+    fn_tta, times = clip_metrics_fn(model, 6, return_video=True,
+                                    self_ensemble=True)
+    metrics_tta, video_tta = fn_tta(params, blurry, sharp)
+
+    acc = None
+    for fh in (False, True):
+        for fw in (False, True):
+            x = blurry[:, :, ::-1] if fh else blurry
+            x = x[:, :, :, ::-1] if fw else x
+            v = model.infer_clip(params, x)[0].astype(jnp.float32)
+            v = v[:, :, ::-1] if fh else v
+            v = v[:, :, :, ::-1] if fw else v
+            acc = v if acc is None else acc + v
+    want = np.clip(np.asarray(acc) / 4.0, 0.0, 1.0)
+    np.testing.assert_allclose(np.asarray(video_tta), want,
+                               rtol=1e-5, atol=1e-6)
+    # and the TTA metrics differ from plain (the model is not exactly
+    # flip-equivariant), but are finite and in a sane PSNR range
+    fn_plain, _ = clip_metrics_fn(model, 6)
+    plain = jax.device_get(fn_plain(params, blurry, sharp))
+    tta = jax.device_get(metrics_tta)
+    assert np.isfinite(tta["psnr"]["overall"]).all()
+    assert 0.0 < float(np.mean(tta["psnr"]["overall"])) < 60.0
+    assert not np.allclose(np.asarray(tta["psnr"]["overall"]),
+                           np.asarray(plain["psnr"]["overall"]))
+
+
+def test_self_ensemble_through_evaluate():
+    """The evaluate() plumbing honors self_ensemble and keeps distinct
+    jitted programs in a shared fn_cache."""
+    from bin_tpu.evaluation.evaluator import evaluate
+
+    cfg = ModelConfig(name="prf", base_features=8, num_res_blocks=1,
+                      convlstm_features=16, stem_factor=1)
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0), batch=1, height=32, width=32)
+    params = _desymmetrize(params)
+    rng = np.random.default_rng(2)
+    clip = {"blurry": rng.uniform(0, 1, (1, 6, 32, 32, 3)).astype(np.float32),
+            "sharp": rng.uniform(0, 1, (1, 11, 32, 32, 3)).astype(np.float32)}
+    cache: dict = {}
+    plain = evaluate(model, params, [clip], verbose=False, fn_cache=cache)
+    tta = evaluate(model, params, [clip], verbose=False, fn_cache=cache,
+                   self_ensemble=True)
+    assert len(cache) == 2  # flag is part of the cache key
+    assert np.isfinite(tta["psnr_overall"])
+    assert tta["psnr_overall"] != plain["psnr_overall"]

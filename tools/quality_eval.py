@@ -67,6 +67,10 @@ def main():
     ap.add_argument("--set", dest="overrides", action="append", default=[])
     ap.add_argument("--ema", action="store_true",
                     help="evaluate the EMA params (optim.ema_decay runs)")
+    ap.add_argument("--self-ensemble", action="store_true",
+                    help="test-time augmentation: average the 4 spatial-flip "
+                         "predictions (4x compute).  Recorded in the "
+                         "protocol — NOT comparable with plain evals")
     ap.add_argument("--json-out", default="",
                     help="also write a machine-readable eval record here "
                          "(protocol + model + baseline metrics) — the file "
@@ -88,7 +92,8 @@ def main():
     w = args.size[1] if len(args.size) > 1 else args.size[0]
     print(f"eval protocol: size={h}x{w} clips={args.clips} keys={args.keys} "
           f"seed={cfg.data.eval_seed} dtype={cfg.model.dtype}"
-          + (" params=ema" if args.ema else ""))
+          + (" params=ema" if args.ema else "")
+          + (" self_ensemble=x4" if args.self_ensemble else ""))
     source = SyntheticSource(num_samples=args.clips, num_keys=args.keys,
                              height=h, width=w,
                              seed=cfg.data.eval_seed,
@@ -102,7 +107,8 @@ def main():
     for k_ in sorted(base):
         print(f"  {k_}: {base[k_]:.4f}")
 
-    results = evaluate(model, params, eval_clips(source, batch_size=1))
+    results = evaluate(model, params, eval_clips(source, batch_size=1),
+                       self_ensemble=args.self_ensemble)
     print(json.dumps({"model": results, "baseline": base}, default=float))
     if args.json_out:
         record = {
@@ -110,7 +116,9 @@ def main():
                          "keys": args.keys, "seed": cfg.data.eval_seed,
                          "style": args.style or cfg.data.synthetic_style,
                          "dtype": cfg.model.dtype,
-                         "params": "ema" if args.ema else "raw"},
+                         "params": "ema" if args.ema else "raw",
+                         **({"self_ensemble": 4} if args.self_ensemble
+                            else {})},
             "preset": args.preset, "overrides": args.overrides,
             "checkpoint": args.checkpoint,
             "model": {k: float(v) for k, v in results.items()},
