@@ -21,6 +21,10 @@ Design notes
 - stdlib ThreadingHTTPServer: one OS thread per in-flight request; a
   per-stream lock serializes pushes within a stream, a registry lock
   guards create/close.  No extra dependencies.
+- TCP_NODELAY on BOTH ends (here and `client.StreamClient`): the
+  headers+body two-write pattern otherwise collects Nagle/delayed-ACK
+  stalls every exchange — 4258 -> ~800 ms/key at 720p when fixed
+  (BASELINE.md round-4).  Use StreamClient, not bare http.client.
 
 Protocol (all frame bodies are raw uint8 RGB, H*W*3 bytes per frame):
   GET  /healthz                  → JSON {status, platform, model, streams}
@@ -161,6 +165,12 @@ class FrameServer:
 def _make_handler(server: FrameServer):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # Every response is two writes (headers, body); with Nagle on, the
+        # body write stalls on the client's delayed ACK of the header packet
+        # — measured 5.7x per-key latency on loopback (BASELINE.md round-4
+        # HTTP serving bench). Clients must do the same (client.StreamClient
+        # does); the request side has the symmetric two-write pattern.
+        disable_nagle_algorithm = True
 
         def log_message(self, fmt, *args):  # quiet by default
             pass

@@ -61,6 +61,10 @@ def _parse_frames(resp):
 
 
 def test_http_stream_matches_direct_session(served):
+    """Through the supported client (StreamClient, TCP_NODELAY both ends —
+    the transport config the round-4 latency fix requires)."""
+    from bin_tpu.serving.client import StreamClient
+
     model, params, port = served
     frames = _frames()
 
@@ -74,28 +78,38 @@ def test_http_stream_matches_direct_session(served):
     ref.close()  # stop its fetch thread (leak hygiene, see close test)
     assert len(want) >= NUM_KEYS  # 2x rate minus window latency
 
-    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
-    conn.request("POST", "/v1/streams",
-                 body=json.dumps({"height": H, "width": W}))
-    resp = conn.getresponse()
-    assert resp.status == 201
-    sid = json.loads(resp.read())["id"]
-
-    got = {}
-    for f in frames:
-        conn.request("POST", f"/v1/streams/{sid}/frames", body=f.tobytes())
-        resp = conn.getresponse()
-        assert resp.status == 200
-        got.update({t: fr for t, fr in _parse_frames(resp)})
-    conn.request("POST", f"/v1/streams/{sid}/close")
-    resp = conn.getresponse()
-    assert resp.status == 200
-    got.update({t: fr for t, fr in _parse_frames(resp)})
+    with StreamClient("127.0.0.1", port, timeout=120) as client:
+        sid = client.open(H, W)
+        got = {}
+        for f in frames:
+            got.update({t: fr for t, fr in client.push(sid, f)})
+        got.update({t: fr for t, fr in client.close(sid)})
 
     assert sorted(got) == sorted(want)
     for t in want:
         np.testing.assert_array_equal(got[t], want[t])
-    conn.close()
+
+
+def test_stream_client_validates_and_errors(served):
+    """Client-side shape gate + server errors surfaced as exceptions."""
+    from bin_tpu.serving.client import StreamClient
+
+    _, _, port = served
+    with StreamClient("127.0.0.1", port, timeout=60) as client:
+        assert client.health()["status"] == "ok"
+        sid = client.open(H, W)
+        with pytest.raises(ValueError, match="expected"):
+            client.push(sid, np.zeros((H, W + 4, 3), np.uint8))
+        with pytest.raises(ValueError, match="uint8"):
+            client.push(sid, np.zeros((H, W, 3), np.float32))
+        client.close(sid)
+        with pytest.raises(RuntimeError, match="404"):
+            client.push(sid, np.zeros((H, W, 3), np.uint8))  # closed stream
+        with pytest.raises(RuntimeError, match="400"):
+            client.open(30, 30)  # not divisible by the model factor
+        # connection must survive drained error responses (keep-alive)
+        sid = client.open(H, W)
+        client.close(sid)
 
 
 def test_http_errors_and_health(served):

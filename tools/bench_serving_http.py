@@ -18,7 +18,6 @@ Prints one JSON line:
 from __future__ import annotations
 
 import argparse
-import http.client
 import json
 import threading
 import time
@@ -78,26 +77,19 @@ def main() -> None:
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
 
+    from bin_tpu.serving.client import StreamClient
+
     def run_stream(latencies: list, delivered: list) -> None:
-        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
-        conn.request("POST", "/v1/streams",
-                     body=json.dumps({"height": h, "width": w}))
-        sid = json.loads(conn.getresponse().read())["id"]
+        client = StreamClient("127.0.0.1", port, timeout=600)
+        sid = client.open(h, w)
         got = 0
         for i in range(args.keys):
             t0 = time.monotonic()
-            conn.request("POST", f"/v1/streams/{sid}/frames",
-                         body=frames[i].tobytes())
-            resp = conn.getresponse()
-            resp.read()
-            got += int(resp.headers.get("X-Frame-Count", 0))
+            got += len(client.push(sid, frames[i]))
             latencies.append(time.monotonic() - t0)
-        conn.request("POST", f"/v1/streams/{sid}/close")
-        resp = conn.getresponse()
-        resp.read()
-        got += int(resp.headers.get("X-Frame-Count", 0))
+        got += len(client.close(sid))
         delivered.append(got)
-        conn.close()
+        client.disconnect()
 
     # ---- HTTP arm: N concurrent client threads over the socket ----------
     lat: list[list[float]] = [[] for _ in range(args.streams)]
@@ -152,6 +144,10 @@ def main() -> None:
         "http_wall_s": round(http_wall, 2),
         "direct_wall_s": round(direct_wall, 2),
         "frames_delivered_http": out_frames,
+        # per-key trajectories: a steady mean hides backlog growth (a ramp
+        # here means pushes outpace the device and latency is queueing)
+        "http_lat_ms": [[round(1e3 * v, 1) for v in ls] for ls in lat],
+        "direct_lat_ms": [round(1e3 * v, 1) for v in direct_lat],
     }))
 
 
