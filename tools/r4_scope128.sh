@@ -1,0 +1,155 @@
+#!/bin/bash
+# Round-4 scoped-int8 widening + provenance fixes (follow-up to the rejected
+# all-conv int8 QAT, runs/QAT_VERDICT.json):
+#
+#   1. min_cin=128 serving scope — quantize the MXU-heavy 128-channel convs
+#      but keep the tiny head/tail convs bf16.  The r4 traces show those
+#      heads run at 17-63 TF/s (k[3,3,24,128] 0.61 ms, k[3,3,128,12]
+#      0.78+0.74 ms of 81 ms) so int8 gains them almost nothing, while they
+#      are exactly the layers PTQ hurts most.  Decision pair: PTQ quality of
+#      the record release at min_cin=128 + same-session fps A/B vs the
+#      min_cin=256 default.  Promotion rule unchanged: record - 0.05 dB
+#      (runs/BENCH_OVERRIDES.json, measurement-gated like tools/r4_qat.sh).
+#   2. TTA provenance fix: the release card's x4-flip evals were produced
+#      from runs/prf_r4/checkpoints AFTER the 50k stages overwrote it, i.e.
+#      they measure the 50k EMA params, not the released 20k record.  Re-run
+#      both TTA evals against weights/prf_ema_r4.npz itself (restore_params
+#      accepts .npz) and patch the card with the corrected numbers.
+#   3. Clean HTTP-vs-direct re-bench (the 08:18 attempt caught a 260 s
+#      tunnel stall on key 13 of both streams — runs/serving_http_r4_fixed
+#      .json is void; this is attempt 3 after the TCP_NODELAY fix).
+#   4. If (and only if) the PTQ-128 quality misses the budget: a scoped
+#      4k-step QAT fine-tune at the SAME min_cin=128 scope, evaluated with
+#      --ema (the r4 all-conv QAT evals used raw params; the record itself
+#      is EMA, worth ~0.19 dB on this run).
+#
+# Idempotent (queue_lib stamps); never git-commits.
+set -u
+cd "$(dirname "$0")/.."
+source tools/queue_lib.sh
+queue_init runs/r4_scope128.log \
+  "${QUEUE_DEADLINE:-$(date -d '2026-08-19 11:20 UTC' +%s)}"
+wait_for_tpu 7200 60 || exit 1
+
+REL=weights/prf_ema_r4.npz
+WD=runs/r4_scope128
+EV="python tools/quality_eval.py --preset config3_prf --set model.dtype=bfloat16"
+mkdir -p $WD
+
+# --- 1. decision pair: PTQ quality + same-session fps A/B ------------------
+run_step eval_rel_int8c128 2400 $WD/quality_256_int8c128.txt \
+  $EV --checkpoint $REL --set model.conv_int8=true \
+      --set model.conv_int8_min_cin=128 --json-out $WD/eval_256_int8c128.json
+run_step bench_int8c128 2400 runs/bench_r4_int8c128.json \
+  python bench.py --set model.conv_int8_min_cin=128
+run_step bench_control2 2400 runs/bench_r4_control2.json \
+  python bench.py
+
+python - "$REL" "$WD" <<'PYEOF' >> "$QUEUE_LOG" 2>&1
+import json, sys
+rel, wd = sys.argv[1], sys.argv[2]
+from bin_tpu.weights import read_card
+record = read_card(rel)["metadata"]["psnr_overall"]
+def get(p, *ks):
+    try:
+        v = json.load(open(p))
+        for k in ks: v = v[k]
+        return v
+    except Exception:
+        return None
+psnr = get(f"{wd}/eval_256_int8c128.json", "model", "psnr_overall")
+fps128 = get("runs/bench_r4_int8c128.json", "value")
+fpsctl = get("runs/bench_r4_control2.json", "value")
+ok_q = bool(psnr and psnr >= record - 0.05)
+ok_f = bool(fps128 and fpsctl and fps128 > fpsctl * 1.01)
+verdict = dict(mode="ptq_min_cin_128", psnr=psnr, record=record,
+               record_source=rel, budget=0.05, fps128=fps128,
+               fps_control_same_session=fpsctl,
+               quality_holds=ok_q, fps_gains=ok_f, flip=ok_q and ok_f)
+json.dump(verdict, open(f"{wd}/SCOPE128_VERDICT.json", "w"), indent=1)
+print("scope128 verdict:", verdict)
+if verdict["flip"]:
+    json.dump({"overrides": {"model.conv_int8_min_cin": 128},
+               "reason": (f"PTQ at min_cin=128 holds the budget: "
+                          f"{psnr:.4f} dB vs record {record:.4f} from {rel} "
+                          f"(budget 0.05) and gains fps {fpsctl:.2f}->"
+                          f"{fps128:.2f} same-session - "
+                          f"runs/r4_scope128/SCOPE128_VERDICT.json")},
+              open("runs/BENCH_OVERRIDES.json", "w"), indent=1)
+    print("BENCH_OVERRIDES.json written: min_cin=128 serving default")
+PYEOF
+
+# --- 2. TTA provenance fix: re-run x4-flip on the released npz -------------
+run_step eval_rel_tta256 3600 $WD/quality_256_tta_rel.txt \
+  $EV --checkpoint $REL --self-ensemble --json-out $WD/eval_256_tta_rel.json
+run_step eval_rel_tta352 5400 $WD/quality_352x640_tta_rel.txt \
+  $EV --checkpoint $REL --self-ensemble --size 352 640 \
+      --json-out $WD/eval_352x640_tta_rel.json
+
+# --- 3. clean HTTP-vs-direct pair (attempt 3) -------------------------------
+run_step serving_http_fixed2 3600 runs/serving_http_r4_fixed2.json \
+  python tools/bench_serving_http.py --streams 2 --keys 16 --weights $REL
+
+# --- 4. scoped QAT fallback, only if PTQ-128 missed the quality budget -----
+need_qat=$(python -c "
+import json
+try: v = json.load(open('$WD/SCOPE128_VERDICT.json'))
+except Exception: v = {}
+print('no' if v.get('quality_holds') else 'yes')")
+if [ "$need_qat" = yes ]; then
+  run_step_retry 2 train_qat128 4500 $WD/TRAIN/DONE \
+    python train.py --preset config3_prf \
+      --set model.conv_int8_qat=true --set model.conv_int8_min_cin=128 \
+      --set model.dtype=bfloat16 --set model.remat=true \
+      --set data.loader=grain \
+      --set optim.learning_rate=2.5e-5 --set optim.lr_decay_steps=100000 \
+      --set checkpoint.save_interval_steps=4000 \
+      --set checkpoint.keep_last_n=1 \
+      --steps 4000 --init-from "$REL" --workdir $WD || exit 1
+  run_step eval_qat128_ema 2400 $WD/quality_256_qat128_ema.txt \
+    $EV --checkpoint $WD/checkpoints --ema --set model.conv_int8=true \
+        --set model.conv_int8_min_cin=128 \
+        --json-out $WD/eval_256_qat128_ema.json
+  run_step eval_qat128_raw 2400 $WD/quality_256_qat128_raw.txt \
+    $EV --checkpoint $WD/checkpoints --set model.conv_int8=true \
+        --set model.conv_int8_min_cin=128 \
+        --json-out $WD/eval_256_qat128_raw.json
+  run_step eval_qat128_bf16ema 2400 $WD/quality_256_qat128_bf16ema.txt \
+    $EV --checkpoint $WD/checkpoints --ema \
+        --json-out $WD/eval_256_qat128_bf16ema.json
+
+  python - "$REL" "$WD" <<'PYEOF' >> "$QUEUE_LOG" 2>&1
+import json, sys
+rel, wd = sys.argv[1], sys.argv[2]
+from bin_tpu.weights import read_card
+record = read_card(rel)["metadata"]["psnr_overall"]
+def overall(p):
+    try: return json.load(open(p))["model"]["psnr_overall"]
+    except Exception: return None
+ema = overall(f"{wd}/eval_256_qat128_ema.json")
+raw = overall(f"{wd}/eval_256_qat128_raw.json")
+bf16 = overall(f"{wd}/eval_256_qat128_bf16ema.json")
+best = max([v for v in (ema, raw) if v is not None], default=None)
+params = "ema" if best == ema else "raw"
+v0 = json.load(open(f"{wd}/SCOPE128_VERDICT.json"))
+verdict = dict(mode="qat_min_cin_128", int8c128_ema=ema, int8c128_raw=raw,
+               bf16_ema=bf16, record=record, record_source=rel, budget=0.05,
+               fps128=v0.get("fps128"),
+               fps_control_same_session=v0.get("fps_control_same_session"),
+               flip=bool(best and best >= record - 0.05 and v0.get("fps_gains")))
+json.dump(verdict, open(f"{wd}/QAT128_VERDICT.json", "w"), indent=1)
+print("qat128 verdict:", verdict)
+if verdict["flip"]:
+    json.dump({"overrides": {"model.conv_int8_min_cin": 128},
+               "reason": (f"scoped int8-QAT (min_cin=128, 4k steps, "
+                          f"params={params}) holds the budget: {best:.4f} dB "
+                          f"vs record {record:.4f} from {rel} (budget 0.05); "
+                          f"fps {v0.get('fps_control_same_session')}->"
+                          f"{v0.get('fps128')} same-session - "
+                          f"runs/r4_scope128/QAT128_VERDICT.json")},
+              open("runs/BENCH_OVERRIDES.json", "w"), indent=1)
+    print("BENCH_OVERRIDES.json written: min_cin=128 via QAT weights")
+PYEOF
+fi
+
+echo "=== r4_scope128 done $(date -u)" >> "$QUEUE_LOG"
