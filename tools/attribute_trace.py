@@ -237,6 +237,13 @@ def main():
     p.add_argument("--int8-min-cin", type=int, default=0,
                    help="model.conv_int8_min_cin for --int8 (bench default "
                         "serving scope is 256)")
+    p.add_argument("--dump-hlo", default=None, metavar="PATH",
+                   help="also write the optimized scheduled HLO text to "
+                        "PATH and exit WITHOUT running on the device — the "
+                        "compile goes through the chipless remote-compile "
+                        "helper, so producer/consumer context for any op in "
+                        "the trace table can be inspected while the chip is "
+                        "busy with queued work")
     args = p.parse_args()
 
     import numpy as np
@@ -266,6 +273,11 @@ def main():
                 + sum(jnp.sum(h) + jnp.sum(c) for h, c in ns))
 
     compiled = step.lower(params, window, states).compile()
+    if args.dump_hlo:
+        with open(args.dump_hlo, "w") as f:
+            f.write(compiled.as_text())
+        print(f"optimized HLO -> {args.dump_hlo} (device not touched)")
+        return
     durs = capture_trace(lambda: step(params, window, states))
     report(compiled.as_text(), durs, args.top, json_out=args.json)
 
