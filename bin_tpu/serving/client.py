@@ -46,6 +46,11 @@ class StreamClient:
                  timeout: float = 600.0):
         self._conn = _NoDelayConnection(host, port, timeout=timeout)
         self._sizes: dict[str, tuple[int, int]] = {}
+        # server-side phase split of the LAST push response (X-Push-Ms /
+        # X-Poll-Ms headers): (device-dispatch ms, ready-frame-fetch ms),
+        # or None when the server predates the headers.  Lets callers
+        # separate transport time from server time without a server log.
+        self.last_server_ms: tuple[float, float] | None = None
 
     # -- plumbing -----------------------------------------------------------
     def _json(self, method: str, path: str, body: dict | None = None) -> dict:
@@ -60,6 +65,9 @@ class StreamClient:
         return obj
 
     def _frames(self, resp) -> list[tuple[int, np.ndarray]]:
+        pm, lm = resp.getheader("X-Push-Ms"), resp.getheader("X-Poll-Ms")
+        self.last_server_ms = ((float(pm), float(lm))
+                               if pm is not None and lm is not None else None)
         n = int(resp.getheader("X-Frame-Count", 0))
         h = int(resp.getheader("X-Height"))
         w = int(resp.getheader("X-Width"))

@@ -62,6 +62,13 @@ class _Stream:
         #                      lose frames into) the already-drained session
         self.keys_pushed = 0
         self.frames_delivered = 0
+        # last push's server-side phase timings (ms), for the X-Push-Ms /
+        # X-Poll-Ms response headers: the round-4 720p bench saw a ~300 s
+        # stall at one specific key with the socket exonerated, and only a
+        # server-side split can say whether the device dispatch
+        # (session.push) or the ready-frame fetch (session.poll) blocks
+        self.last_push_ms = 0.0
+        self.last_poll_ms = 0.0
 
 
 class FrameServer:
@@ -126,13 +133,19 @@ class FrameServer:
     def push(self, sid: str, frame: np.ndarray) -> list[tuple[int, np.ndarray]]:
         """Feed one (H, W, 3) u8 key frame; returns (time, (H, W, 3) u8)
         output frames whose transfer has completed (non-blocking)."""
+        import time
         stream = self._get(sid)
         with stream.lock:
             if stream.closed:
                 raise KeyError(sid)
+            t0 = time.monotonic()
             stream.session.push(frame[None])
+            t1 = time.monotonic()
             stream.keys_pushed += 1
             ready = stream.session.poll()
+            t2 = time.monotonic()
+            stream.last_push_ms = 1e3 * (t1 - t0)
+            stream.last_poll_ms = 1e3 * (t2 - t1)
             stream.frames_delivered += len(ready)
         return [(t, f[0]) for t, f in ready]
 
@@ -185,7 +198,8 @@ def _make_handler(server: FrameServer):
             self.wfile.write(body)
 
         def _frames(self, frames: list[tuple[int, np.ndarray]],
-                    height: int, width: int) -> None:
+                    height: int, width: int,
+                    timing: tuple[float, float] | None = None) -> None:
             body = b"".join(np.ascontiguousarray(f).tobytes()
                             for _, f in frames)
             self.send_response(200)
@@ -195,6 +209,12 @@ def _make_handler(server: FrameServer):
             self.send_header("X-Times", ",".join(str(t) for t, _ in frames))
             self.send_header("X-Height", str(height))
             self.send_header("X-Width", str(width))
+            if timing is not None:
+                # server-side phase split of THIS push (see _Stream): lets a
+                # client separate socket/transport time from device dispatch
+                # (push) and ready-frame fetch (poll) time
+                self.send_header("X-Push-Ms", f"{timing[0]:.1f}")
+                self.send_header("X-Poll-Ms", f"{timing[1]:.1f}")
             self.end_headers()
             self.wfile.write(body)
 
@@ -250,8 +270,10 @@ def _make_handler(server: FrameServer):
                             f"{stream.height}x{stream.width}x3)")
                     frame = np.frombuffer(body, np.uint8).reshape(
                         stream.height, stream.width, 3)
-                    return self._frames(server.push(sid, frame),
-                                        stream.height, stream.width)
+                    ready = server.push(sid, frame)
+                    return self._frames(
+                        ready, stream.height, stream.width,
+                        timing=(stream.last_push_ms, stream.last_poll_ms))
                 if verb == "close":
                     stream = server._get(sid)
                     return self._frames(server.close(sid),

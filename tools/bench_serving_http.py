@@ -79,7 +79,7 @@ def main() -> None:
 
     from bin_tpu.serving.client import StreamClient
 
-    def run_stream(latencies: list, delivered: list) -> None:
+    def run_stream(latencies: list, delivered: list, server_ms: list) -> None:
         client = StreamClient("127.0.0.1", port, timeout=600)
         sid = client.open(h, w)
         got = 0
@@ -87,14 +87,17 @@ def main() -> None:
             t0 = time.monotonic()
             got += len(client.push(sid, frames[i]))
             latencies.append(time.monotonic() - t0)
+            server_ms.append(client.last_server_ms)
         got += len(client.close(sid))
         delivered.append(got)
         client.disconnect()
 
     # ---- HTTP arm: N concurrent client threads over the socket ----------
     lat: list[list[float]] = [[] for _ in range(args.streams)]
+    srv: list[list] = [[] for _ in range(args.streams)]
     delivered: list[int] = []
-    threads = [threading.Thread(target=run_stream, args=(lat[i], delivered))
+    threads = [threading.Thread(target=run_stream,
+                                args=(lat[i], delivered, srv[i]))
                for i in range(args.streams)]
     t0 = time.monotonic()
     for th in threads:
@@ -147,6 +150,10 @@ def main() -> None:
         # per-key trajectories: a steady mean hides backlog growth (a ramp
         # here means pushes outpace the device and latency is queueing)
         "http_lat_ms": [[round(1e3 * v, 1) for v in ls] for ls in lat],
+        # server-side (push_ms, poll_ms) per key — splits each http_lat_ms
+        # entry into device dispatch vs ready-frame fetch vs (the remainder)
+        # transport; the round-4 ~300 s key-13 stall hunt needs this
+        "server_ms": [[list(v) if v else None for v in ls] for ls in srv],
         "direct_lat_ms": [round(1e3 * v, 1) for v in direct_lat],
     }))
 
