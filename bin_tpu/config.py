@@ -60,6 +60,10 @@ class ModelConfig:
                                    # a trained checkpoint with this on, then
                                    # serve with conv_int8=true at the same
                                    # scope (ops/quant.py:fake_quant_conv).
+    conv_int8_mse_clip: bool = False  # PTQ weight scales by per-channel
+                                   # MSE-optimal clip search instead of
+                                   # abs-max (ops/quant.py) — compile-time
+                                   # cost only, no checkpoint change.
     fused_upsample: bool = True    # decoder upsample-conv as one phase-bank
                                    # conv (ops/fused_upsample.py); False =
                                    # unfused upsample-then-conv (identical

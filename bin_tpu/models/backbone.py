@@ -53,6 +53,8 @@ class Backbone(nn.Module):
                                    # same conv set: fine-tune to absorb the
                                    # int8 deployment error (overrides
                                    # conv_int8's op choice, same scoping)
+    conv_int8_mse_clip: bool = False  # PTQ weight scales via MSE-optimal
+                                   # clip search (ops/quant.py), not abs-max
 
     @nn.compact
     def __call__(self, frame_a: jax.Array, frame_b: jax.Array,
@@ -73,7 +75,9 @@ class Backbone(nn.Module):
         chans = [self.base_features * m for m in self.channel_mult]
         x = jnp.concatenate([frame_a, frame_b], axis=-1).astype(self.dtype)
 
-        q = "qat" if self.conv_int8_qat else self.conv_int8
+        q = ("qat" if self.conv_int8_qat else
+             ("mse" if self.conv_int8 and self.conv_int8_mse_clip
+              else self.conv_int8))
         qmc = self.conv_int8_min_cin
         x = ConvBlock(chans[0], self.slope, dtype=self.dtype,
                       param_dtype=self.param_dtype, quant=q,

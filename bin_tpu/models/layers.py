@@ -47,6 +47,8 @@ def _conv3x3_maybe_quant(x, features, *, strides=1, dtype, param_dtype,
     round-3 int8 table).
 
     ``quant`` modes: False = plain conv; True = deployed int8 PTQ conv;
+    "mse" = int8 PTQ with MSE-optimal clipped weight scales (abs-max lets
+    one outlier weight stretch a whole channel's grid — ops/quant.py);
     "qat" = training-time fake-quant conv (same quantizer, straight-through
     gradients — ops/quant.py:fake_quant_conv) so a fine-tune learns the
     deployment quantization error."""
@@ -56,8 +58,12 @@ def _conv3x3_maybe_quant(x, features, *, strides=1, dtype, param_dtype,
     from bin_tpu.ops.quant import fake_quant_conv, int8_conv
     kernel, bias = _ConvParams((3, 3, x.shape[-1], features),
                                param_dtype, name=name)()
-    conv = fake_quant_conv if quant == "qat" else int8_conv
-    return conv(x, kernel, bias, strides=(strides, strides)).astype(dtype)
+    if quant == "qat":
+        out = fake_quant_conv(x, kernel, bias, strides=(strides, strides))
+    else:
+        out = int8_conv(x, kernel, bias, strides=(strides, strides),
+                        weight_mse_clip=quant == "mse")
+    return out.astype(dtype)
 
 
 class ConvBlock(nn.Module):

@@ -27,13 +27,40 @@ from jax import lax
 __all__ = ["int8_conv", "quantize_symmetric", "fake_quant", "fake_quant_conv"]
 
 
-def quantize_symmetric(x: jax.Array, axis=None) -> tuple[jax.Array, jax.Array]:
-    """Symmetric abs-max int8 quantization; returns (q, scale) with
-    x ≈ q * scale.  ``axis``: reduction axes KEPT per-channel (None =
-    per-tensor)."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=axis is not None)
+def quantize_symmetric(x: jax.Array, axis=None,
+                       mse_clip: bool = False) -> tuple[jax.Array, jax.Array]:
+    """Symmetric int8 quantization; returns (q, scale) with x ≈ q * scale.
+    ``axis``: reduction axes KEPT per-channel (None = per-tensor).
+
+    ``mse_clip=True`` replaces the abs-max scale with the MSE-optimal
+    clipped scale: per channel, search scale candidates c·amax/127 for
+    c ∈ {0.50 … 1.00} and keep the one minimizing the quantization error
+    ‖x − dq(q(x))‖².  Abs-max lets a single outlier weight stretch the
+    whole channel's grid; clipping trades that outlier's error for a finer
+    grid everywhere else.  Intended for WEIGHTS (constants under jit — the
+     21-candidate search folds away at compile time); for dynamic
+    activation quantization it would add 21 reductions per call."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=axis, keepdims=axis is not None)
     scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    if mse_clip:
+        cands = jnp.linspace(0.5, 1.0, 21)
+        # err[i] = sum over x of (x - dq_i(x))^2, per kept channel
+        best_err = None
+        best_scale = scale
+        for c in list(cands):
+            s = jnp.maximum(amax * c, 1e-8) / 127.0
+            dq = jnp.clip(jnp.round(xf / s), -127, 127) * s
+            err = jnp.sum(jnp.square(xf - dq), axis=axis,
+                          keepdims=axis is not None)
+            if best_err is None:
+                best_err, best_scale = err, s
+            else:
+                take = err < best_err
+                best_err = jnp.where(take, err, best_err)
+                best_scale = jnp.where(take, s, best_scale)
+        scale = best_scale
+    q = jnp.clip(jnp.round(xf / scale), -127, 127)
     return q.astype(jnp.int8), scale
 
 
@@ -86,13 +113,17 @@ def fake_quant_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
 
 def int8_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
               strides: tuple[int, int] = (1, 1),
-              padding: str = "SAME") -> jax.Array:
+              padding: str = "SAME",
+              weight_mse_clip: bool = False) -> jax.Array:
     """PTQ conv: int8 x int8 -> int32 MXU conv, fp32 dequant (+ bias).
 
     kernel (kh, kw, cin, cout) fp32/bf16 — quantized per-output-channel
     in-graph (constant-folded under jit).  Output fp32.
+    ``weight_mse_clip``: MSE-optimal clipped weight scales instead of
+    abs-max (see quantize_symmetric; compile-time cost only).
     """
-    qk, kscale = quantize_symmetric(kernel, axis=(0, 1, 2))  # (1,1,1,cout)
+    qk, kscale = quantize_symmetric(kernel, axis=(0, 1, 2),
+                                    mse_clip=weight_mse_clip)  # (1,1,1,cout)
     qx, ascale = quantize_symmetric(x)                        # per-tensor
     out = lax.conv_general_dilated(
         qx, qk, strides, padding,

@@ -273,7 +273,19 @@ def train(cfg: Config, workdir: str = "runs/latest",
     state = create_train_state(cfg, model, rng)
     if init_params_from:
         from bin_tpu.training.checkpoint import restore_params
-        state = state.replace(params=restore_params(init_params_from))
+        import jax.numpy as jnp
+        restored = restore_params(init_params_from)
+        # Re-seat the EMA shadow AT the restored params too (same contract
+        # as create_train_state: "EMA initialized AT the params").  Leaving
+        # it at the random init poisons every EMA eval of a warm-started
+        # fine-tune: after 2k steps at decay 0.999 the shadow still holds
+        # e^-2 ~ 13.5% random weights — measured 26.31 dB vs the 28.5 raw
+        # (runs/r4_qat128b, round 4).  jnp.copy for the same donation-
+        # aliasing reason as in create_train_state.
+        state = state.replace(
+            params=restored,
+            ema_params=(jax.tree.map(jnp.copy, restored)
+                        if state.ema_params is not None else None))
 
     plan = None
     if cfg.parallel.data_axis_size != 1 or cfg.parallel.spatial_axis_size != 1:

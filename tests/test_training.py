@@ -231,3 +231,41 @@ def test_in_training_eval_and_best_weights(tmp_path):
     assert meta["psnr_overall"] == max(r["eval_psnr_overall"] for r in evals)
     assert meta["step"] in (4, 8) and meta["eval_clips"] == 2
     assert mc.base_features == 8
+
+
+def test_init_from_reseats_ema_shadow(tmp_path):
+    """--init-from must re-seat the EMA shadow AT the restored params, not
+    leave it at the random init (regression: a 2k-step warm-started QAT
+    fine-tune's EMA eval scored 26.31 dB vs 28.5 raw because the shadow
+    still held ~13.5% random weights — runs/r4_qat128b, round 4)."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from bin_tpu.config import get_config
+    from bin_tpu.training.checkpoint import restore_params
+    from bin_tpu.training.trainer import train
+
+    cfg = get_config("config1_backbone_128", [
+        "model.base_features=8", "data.crop_size=32,32", "data.batch_size=2",
+        "optim.ema_decay=0.999", "checkpoint.save_interval_steps=2",
+        "log.log_interval_steps=2"])
+    src = str(tmp_path / "src")
+    train(cfg, workdir=src, num_steps=2)
+    src_params = restore_params(os.path.join(src, "checkpoints"))
+
+    dst = str(tmp_path / "dst")
+    train(cfg, workdir=dst, num_steps=2,
+          init_params_from=os.path.join(src, "checkpoints"))
+    ema = restore_params(os.path.join(dst, "checkpoints"), ema=True)
+
+    # after only 2 steps at decay 0.999 the EMA must still be ~AT the
+    # warm-start params; with the bug it is ~at the dst run's random init
+    def rel(a, b):
+        na = float(np.linalg.norm(np.asarray(a, np.float64).ravel()))
+        return float(np.linalg.norm(
+            (np.asarray(a, np.float64) - np.asarray(b, np.float64)).ravel())
+        ) / max(na, 1e-9)
+    rels = jax.tree.leaves(jax.tree.map(rel, ema, src_params))
+    assert float(np.median(rels)) < 0.05, rels[:5]
