@@ -51,8 +51,13 @@ rel, wd = sys.argv[1], sys.argv[2]
 from bin_tpu.weights import read_card
 record = read_card(rel)["metadata"]["psnr_overall"]
 def get(p, *ks):
+    # bench artifacts carry log preamble before the JSON line — parse the
+    # LAST {-line, not the whole file (the first run of this verdict
+    # json.load-ed them and silently nulled the fps fields)
     try:
-        v = json.load(open(p))
+        line = [l for l in open(p).read().splitlines()
+                if l.strip().startswith("{")][-1]
+        v = json.loads(line)
         for k in ks: v = v[k]
         return v
     except Exception:
