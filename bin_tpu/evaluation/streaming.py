@@ -149,7 +149,19 @@ class StreamingSession:
         if async_drain:
             import queue
             import threading
-            self._fetch_q: queue.Queue = queue.Queue(maxsize=8)
+            # Pipeline depth 2: one window in compute + one finalized output
+            # in device->host flight.  Deeper queues buy NOTHING (the chip
+            # computes one window at a time) and are actively catastrophic
+            # on the tunneled device: with depth 8, pushes return in ~1 ms
+            # until the queue fills and then the first device_get pays one
+            # giant sync for the whole backlog — measured 41 s at key 12
+            # for a single 720p stream and 228-316 s for two concurrent
+            # streams (16 deep-queued windows of donated stacks/outputs;
+            # runs/serving_http_r4_instrumented.json, X-Push-Ms split).
+            # Depth 2 converts that cliff into gentle per-window
+            # backpressure: each push blocks ~one window-time once the
+            # pipeline fills — bounded serving latency, same throughput.
+            self._fetch_q: queue.Queue = queue.Queue(maxsize=2)
             self._ready: list[tuple[int, np.ndarray]] = []
             self._ready_lock = threading.Lock()
 

@@ -309,6 +309,14 @@ def serve_main(argv: list[str] | None = None) -> None:
 
     params, model_cfg, meta = load_weights(args.weights)
     model = build_model(model_cfg)
+    # front the tunnel's first-bulk-D2H cliff at boot, not on the first
+    # client's frames (measured 208 s once per process on the axon tunnel;
+    # bin_tpu/utils/device_warmup.py)
+    from bin_tpu.utils.device_warmup import warm_d2h
+    dt = warm_d2h()
+    if dt > 1.0:
+        print(f"bin-tpu-serve: device->host path warmup took {dt:.1f}s "
+              f"(once per process)")
     server = FrameServer(model, params, max_streams=args.max_streams,
                          spatial=args.spatial)
     httpd = make_http_server(server, args.host, args.port)

@@ -71,6 +71,14 @@ def main() -> None:
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, (args.keys, h, w, 3), dtype=np.uint8)
 
+    # warm the device->host bulk path BEFORE the timed region: the tunnel's
+    # first big fetch of a process costs ~200-300 s (device_warmup.py) and
+    # lands on whichever arm runs first — it contaminated three round-4
+    # runs as a "~300 s stall at key 13" before being isolated
+    from bin_tpu.utils.device_warmup import warm_d2h
+    dt = warm_d2h()
+    print(f"d2h warmup: {dt:.2f}s (excluded from both arms)")
+
     server = FrameServer(model, params, max_streams=args.streams)
     httpd = make_http_server(server, "127.0.0.1", 0)
     port = httpd.server_address[1]
