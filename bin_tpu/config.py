@@ -64,6 +64,11 @@ class ModelConfig:
                                    # MSE-optimal clip search instead of
                                    # abs-max (ops/quant.py) — compile-time
                                    # cost only, no checkpoint change.
+    conv_int8_lstm: bool = False   # extend int8 PTQ to the ConvLSTM gate
+                                   # conv (k3x3, Cin=Cfeat+F, Cout=4F) —
+                                   # ~3.4 ms of bf16 the backbone scoping
+                                   # misses (round-4 trace); gate/state
+                                   # math stays fp32. Needs conv_int8.
     fused_upsample: bool = True    # decoder upsample-conv as one phase-bank
                                    # conv (ops/fused_upsample.py); False =
                                    # unfused upsample-then-conv (identical

@@ -53,15 +53,40 @@ class ConvLSTMCell(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     use_pallas: bool = False  # fuse gate math with the Pallas kernel
+    quant: bool = False  # int8 PTQ on the gate conv (model.conv_int8_lstm):
+    #                      the k(3,3,768,1024) gate conv is ~3.4 ms of bf16
+    #                      left on the table by the backbone-only int8
+    #                      scoping (round-4 trace).  Recurrent state math
+    #                      stays fp32 — only the conv quantizes; the carry
+    #                      still accumulates noise across windows, so this
+    #                      ships measurement-gated like every int8 scope.
 
     @nn.compact
     def __call__(self, x: jax.Array, state: tuple[jax.Array, jax.Array]):
         """x (B,h,w,Cin), state ((B,h,w,F), (B,h,w,F)) → (new_h, new_c)."""
         h, c = state
         inp = jnp.concatenate([x.astype(self.dtype), h.astype(self.dtype)], axis=-1)
-        gates = nn.Conv(4 * self.features, self.kernel_size, padding="SAME",
-                        kernel_init=_KERNEL_INIT, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="gates")(inp)
+        if self.quant:
+            from bin_tpu.models.layers import _ConvParams
+            from bin_tpu.ops.quant import int8_conv
+            kernel, bias = _ConvParams(
+                (*self.kernel_size, inp.shape[-1], 4 * self.features),
+                self.param_dtype, name="gates")()
+            # Split the concat conv into conv(x,Kx)+conv(h,Kh) — exact in
+            # float arithmetic, NOT under per-tensor activation int8: the
+            # concat mixes the backbone features with the (-1,1) hidden
+            # state under ONE abs-max scale, crushing whichever is smaller
+            # (measured 0.51 max output deviation on the joint form vs
+            # ~int8-normal when split; tests/test_quant.py lstm test).
+            cx = x.shape[-1]
+            gates = (int8_conv(x.astype(self.dtype), kernel[:, :, :cx], bias)
+                     + int8_conv(h.astype(self.dtype), kernel[:, :, cx:],
+                                 None)).astype(self.dtype)
+        else:
+            gates = nn.Conv(4 * self.features, self.kernel_size,
+                            padding="SAME", kernel_init=_KERNEL_INIT,
+                            dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="gates")(inp)
         if self.use_pallas:
             from bin_tpu.ops.pallas.lstm_gates import fused_lstm_gates
             new_h, new_c = fused_lstm_gates(gates, c, self.forget_bias)

@@ -94,7 +94,9 @@ class BINPyramid(nn.Module):
             self.lstms = [
                 ConvLSTMCell(features=c.convlstm_features, dtype=dtype,
                              param_dtype=pdtype,
-                             use_pallas=c.use_pallas_lstm, name=f"lstm_{l}")
+                             use_pallas=c.use_pallas_lstm,
+                             quant=bool(c.conv_int8 and c.conv_int8_lstm),
+                             name=f"lstm_{l}")
                 for l in range(1, n + 1)
             ]
 

@@ -261,3 +261,58 @@ def test_conv_int8_mse_clip_forward_close_and_flag_wired():
                 params, x)
         return len(jx.jaxpr.eqns)
     assert jaxpr_len(m_qm) > jaxpr_len(m_q)
+
+
+def test_conv_int8_lstm_scopes_gate_conv():
+    """model.conv_int8_lstm: same checkpoint, quantized gate conv only —
+    param tree identical, flag off is bit-identical, cell-level output
+    close to float.  Full-model quality at real scale is gated on-chip
+    (the toy 16-feature cell has fan-in 216 vs 6912 in the flagship, so
+    per-channel int8 noise here is ~5x larger and recurrence amplifies
+    it — an end-to-end threshold at this size would test nothing)."""
+    from bin_tpu.models.convlstm import ConvLSTMCell
+
+    cfg = get_config("config3_prf", [
+        "model.base_features=8", "model.num_res_blocks=1",
+        "model.convlstm_features=16"])
+    mk = lambda **kw: build_model(dataclasses.replace(
+        cfg.model, **{"conv_int8": True, **kw}))
+    m_f = build_model(cfg.model)
+    m_i8 = mk()
+    m_i8l = mk(conv_int8_lstm=True)
+    p_f = m_f.init(jax.random.key(0), height=32, width=32)
+    p_l = m_i8l.init(jax.random.key(0), height=32, width=32)
+    assert (jax.tree_util.tree_structure(p_f)
+            == jax.tree_util.tree_structure(p_l))
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_l)):
+        assert a.shape == b.shape
+    # zero-init tails make init-time outputs exactly the pair average,
+    # masking the LSTM path entirely — perturb params for the graph checks
+    leaves, treedef = jax.tree_util.tree_flatten(p_f)
+    keys = jax.random.split(jax.random.key(4), len(leaves))
+    params = jax.tree_util.tree_unflatten(treedef, [
+        l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, keys)])
+    x = jnp.asarray(np.random.default_rng(5).uniform(
+        0, 1, (1, 6, 32, 32, 3)).astype(np.float32))
+    v_i8 = np.asarray(m_i8.infer_clip(params, x)[0])
+    v_i8l = np.asarray(m_i8l.infer_clip(params, x)[0])
+    assert np.abs(v_i8l - v_i8).max() > 0  # the flag changes the graph
+    # conv_int8_lstm without conv_int8 is a no-op (scoping contract)
+    m_off = build_model(dataclasses.replace(cfg.model, conv_int8_lstm=True))
+    v_f = np.asarray(m_f.infer_clip(params, x)[0])
+    np.testing.assert_array_equal(
+        np.asarray(m_off.infer_clip(params, x)[0]), v_f)
+
+    # cell-level closeness on realistic magnitudes
+    rng = np.random.default_rng(0)
+    cx = jnp.asarray(rng.normal(0, 3, (1, 8, 8, 24)).astype(np.float32))
+    ch = jnp.asarray(np.tanh(rng.normal(0, 1, (1, 8, 8, 16))).astype(np.float32))
+    cc = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 16)).astype(np.float32))
+    cell_f = ConvLSTMCell(features=16)
+    cell_q = ConvLSTMCell(features=16, quant=True)
+    pc = cell_f.init(jax.random.key(0), cx, (ch, cc))
+    hf, cf = cell_f.apply(pc, cx, (ch, cc))
+    hq, cq = cell_q.apply(pc, cx, (ch, cc))
+    assert float(jnp.abs(hf - hq).max()) < 0.15
+    assert float(jnp.abs(cf - cq).max()) < 0.2
