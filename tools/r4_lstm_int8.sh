@@ -32,11 +32,17 @@ rel, wd = sys.argv[1], sys.argv[2]
 from bin_tpu.weights import read_card
 record = read_card(rel)["metadata"]["psnr_overall"]
 def get(p, *ks):
-    # parse the LAST JSON line (bench artifacts carry log preamble)
+    # Whole-file JSON first (eval artifacts are pretty-printed docs, where
+    # "last {-line" grabs a bare opener); fall back to the LAST JSON line
+    # for bench artifacts that carry log preamble.
     try:
-        line = [l for l in open(p).read().splitlines()
-                if l.strip().startswith("{")][-1]
-        v = json.loads(line)
+        text = open(p).read()
+        try:
+            v = json.loads(text)
+        except ValueError:
+            line = [l for l in text.splitlines()
+                    if l.strip().startswith("{")][-1]
+            v = json.loads(line)
         for k in ks: v = v[k]
         return v
     except Exception:
