@@ -237,6 +237,9 @@ def main():
     p.add_argument("--int8-min-cin", type=int, default=0,
                    help="model.conv_int8_min_cin for --int8 (bench default "
                         "serving scope is 256)")
+    p.add_argument("--int8-lstm", action="store_true",
+                   help="model.conv_int8_lstm=true (part of the bench "
+                        "default mode since runs/BENCH_OVERRIDES.json)")
     p.add_argument("--dump-hlo", default=None, metavar="PATH",
                    help="also write the optimized scheduled HLO text to "
                         "PATH and exit WITHOUT running on the device — the "
@@ -258,7 +261,8 @@ def main():
                       stem_factor=args.stem, dtype="bfloat16",
                       s2d_via_conv=args.s2d_via_conv,
                       conv_int8=args.int8,
-                      conv_int8_min_cin=args.int8_min_cin)
+                      conv_int8_min_cin=args.int8_min_cin,
+                      conv_int8_lstm=args.int8_lstm)
     model = build_model(cfg)
     params = model.init(jax.random.key(0), batch=1, height=64, width=64)
     rng = np.random.default_rng(0)
