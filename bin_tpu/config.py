@@ -84,6 +84,23 @@ class ModelConfig:
                                    # Measured round 3: LOST 3.4% (XLA adds
                                    # new layout copies around the Cin=3
                                    # conv) — kept as the recorded negative.
+    d2s_via_conv: bool = True      # decoder upsample phase interleave as a
+                                   # one-hot stride-2 transposed conv
+                                   # instead of reshape/moveaxis (bit-exact
+                                   # — ops/pixel_shuffle.depth_to_space_conv).
+                                   # Targets the round-4 HLO layout thrash:
+                                   # the reshape d2s was the one standard-
+                                   # layout producer inside the backbone
+                                   # while XLA runs every conv in its
+                                   # transposed 0b1f form, so each skip/
+                                   # residual add paid layout copies
+                                   # (~10 ms of the 81 ms stem-2 int8
+                                   # window step).  DEFAULT ON: measured
+                                   # same-session 32.98 -> 41.86 fps
+                                   # (+26.9%) on the bench default mode,
+                                   # bit-exact outputs (tests/test_models.py
+                                   # test_d2s_via_conv_model_flag_exact);
+                                   # false = the reshape form (A/B).
     s2d_pallas: bool = False       # pack via the Pallas VMEM relayout
                                    # kernel (ops/pallas/s2d_pack.py): one
                                    # HBM read + one write per block, the

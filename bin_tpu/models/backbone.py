@@ -55,6 +55,10 @@ class Backbone(nn.Module):
                                    # conv_int8's op choice, same scoping)
     conv_int8_mse_clip: bool = False  # PTQ weight scales via MSE-optimal
                                    # clip search (ops/quant.py), not abs-max
+    upsample_d2s_conv: bool = False  # decoder phase interleave via one-hot
+                                   # transposed conv (bit-exact layout fix;
+                                   # ops/fused_upsample.py, BASELINE.md
+                                   # round-4 HLO audit)
 
     @nn.compact
     def __call__(self, frame_a: jax.Array, frame_b: jax.Array,
@@ -106,7 +110,8 @@ class Backbone(nn.Module):
         for i, ch in reversed(list(enumerate(chans[:-1]))):
             x = Upsample(ch, self.slope, dtype=self.dtype,
                          param_dtype=self.param_dtype,
-                         fused=self.fused_upsample, name=f"up_{i}")(x)
+                         fused=self.fused_upsample,
+                         d2s_conv=self.upsample_d2s_conv, name=f"up_{i}")(x)
             x = x + skips[i]
             x = ResBlock(ch, self.slope, dtype=self.dtype, quant=q,
                          quant_min_cin=qmc,

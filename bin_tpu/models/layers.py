@@ -168,15 +168,20 @@ class Upsample(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     fused: bool = True
+    d2s_conv: bool = False  # phase interleave via one-hot transposed conv
+                            # (bit-exact; see ops/fused_upsample.py)
 
     @nn.compact
     def __call__(self, x):
+        import functools
+
         from bin_tpu.ops.fused_upsample import (upsample2x_conv,
                                                 upsample2x_conv_reference)
 
         kernel, bias = _ConvParams((3, 3, x.shape[-1], self.features),
                                    self.param_dtype, name="Conv_0")()
-        op = upsample2x_conv if self.fused else upsample2x_conv_reference
+        op = (functools.partial(upsample2x_conv, d2s_conv=self.d2s_conv)
+              if self.fused else upsample2x_conv_reference)
         x = op(x.astype(self.dtype), kernel.astype(self.dtype),
                bias.astype(self.dtype))
         return nn.leaky_relu(x, self.slope)

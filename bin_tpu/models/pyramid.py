@@ -87,6 +87,7 @@ class BINPyramid(nn.Module):
                      conv_int8_min_cin=c.conv_int8_min_cin,
                      conv_int8_qat=c.conv_int8_qat,
                      conv_int8_mse_clip=c.conv_int8_mse_clip,
+                     upsample_d2s_conv=c.d2s_via_conv,
                      name=f"level_{l}")
             for l in range(1, n + 1)
         ]

@@ -75,13 +75,21 @@ def upsample2x_conv_reference(x: jax.Array, kernel: jax.Array,
     return out + bias
 
 
-def upsample2x_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array
-                    ) -> jax.Array:
+def upsample2x_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array,
+                    d2s_conv: bool = False) -> jax.Array:
     """``conv3x3_replicate(upsample2x(x), kernel) + bias`` in one pass.
 
     x: (B, N, M, Cin); kernel (3, 3, Cin, Cout); returns (B, 2N, 2M, Cout).
+
+    ``d2s_conv``: do the phase interleave with the one-hot transposed conv
+    (pixel_shuffle.depth_to_space_conv, bit-exact) instead of the reshape/
+    moveaxis form, so the upsample output is produced BY a convolution and
+    inherits the conv-preferred layout — the reshape form was the one
+    standard-layout producer inside the backbone and every downstream
+    skip/residual add paid layout copies around it (round-4 HLO audit,
+    BASELINE.md).
     """
-    from bin_tpu.ops.pixel_shuffle import depth_to_space
+    from bin_tpu.ops.pixel_shuffle import depth_to_space, depth_to_space_conv
 
     kernel = kernel.astype(x.dtype)
     bias = bias.astype(x.dtype)
@@ -90,4 +98,5 @@ def upsample2x_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array
     core = jax.lax.conv_general_dilated(
         x_pad, kp, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return depth_to_space(core + jnp.tile(bias, 4), 2)
+    d2s = depth_to_space_conv if d2s_conv else depth_to_space
+    return d2s(core + jnp.tile(bias, 4), 2)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["space_to_depth", "depth_to_space", "space_to_depth_conv",
-           "input_pack_fn"]
+           "depth_to_space_conv", "input_pack_fn"]
 
 
 def input_pack_fn(model_cfg):
@@ -77,6 +77,47 @@ def space_to_depth_conv(x: jax.Array, factor: int) -> jax.Array:
         x.reshape(-1, h, w, c), kernel, (factor, factor), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return out.reshape(*lead, h // factor, w // factor, factor * factor * c)
+
+
+def _d2s_kernel(factor: int, c: int, dtype) -> np.ndarray:
+    """One-hot (f, f, f*f*C, C) transposed-conv kernel implementing
+    depth_to_space's exact layout: output pixel phase (fy, fx) channel ch
+    reads input channel (fy*f + fx)*C + ch."""
+    k = np.zeros((factor, factor, factor * factor * c, c), np.float32)
+    for fy in range(factor):
+        for fx in range(factor):
+            for ch in range(c):
+                # conv_transpose(transpose_kernel=False) applies the kernel
+                # spatially mirrored; index taps flipped so output phase
+                # (fy, fx) lands where depth_to_space puts it
+                k[factor - 1 - fy, factor - 1 - fx,
+                  (fy * factor + fx) * c + ch, ch] = 1.0
+    return k.astype(dtype)
+
+
+def depth_to_space_conv(x: jax.Array, factor: int) -> jax.Array:
+    """depth_to_space as a one-hot stride-f transposed conv — bit-exact
+    (each output element is the dot of one 1.0 with its source element;
+    all other products are exact zeros at any dtype).
+
+    Why it exists (round-4 HLO layout audit, BASELINE.md): XLA's TPU
+    backend rewrites this model's convs into a transposed ``0b1f`` form,
+    but the reshape/moveaxis depth_to_space in the fused decoder upsample
+    emits a standard-layout tensor — every skip/residual add downstream
+    then materializes in standard form and pays layout copies back into
+    the conv form (the [360,3,640,128] three-layout thrash, ~10 ms of the
+    81 ms stem-2 window step).  Produced BY a convolution, the upsample
+    output is born in the conv-preferred form instead.  A/B surface via
+    model.d2s_via_conv."""
+    if factor == 1:
+        return x
+    *lead, h, w, cff = x.shape
+    c = cff // (factor * factor)
+    kernel = jnp.asarray(_d2s_kernel(factor, c, x.dtype))
+    out = jax.lax.conv_transpose(
+        x.reshape(-1, h, w, cff), kernel, (factor, factor), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out.reshape(*lead, h * factor, w * factor, c)
 
 
 def depth_to_space(x: jax.Array, factor: int) -> jax.Array:

@@ -155,6 +155,37 @@ def test_space_to_depth_conv_bit_exact():
                     np.asarray(space_to_depth(x, f)))
 
 
+def test_depth_to_space_conv_bit_exact():
+    """The one-hot transposed-conv unpack equals the reshape/moveaxis
+    depth_to_space BIT-exactly (each output is the dot of a single 1.0 tap
+    with its source element) at fp32 AND bf16, with leading dims."""
+    from bin_tpu.ops.pixel_shuffle import depth_to_space, depth_to_space_conv
+    for shape in [(2, 3, 8, 12, 48), (3, 8, 12, 16)]:
+        for dtype in (jnp.float32, jnp.bfloat16):
+            x = _rand(*shape).astype(dtype)
+            for f in (1, 2, 4):
+                np.testing.assert_array_equal(
+                    np.asarray(depth_to_space_conv(x, f)),
+                    np.asarray(depth_to_space(x, f)))
+
+
+def test_d2s_via_conv_model_flag_exact():
+    """model.d2s_via_conv (decoder upsample interleave as transposed conv —
+    the round-4 layout-thrash fix, default ON since the +26.9% fps
+    measurement) is a pure layout A/B: identical outputs, identical param
+    tree."""
+    cfg = dataclasses.replace(SMALL, stem_factor=2, d2s_via_conv=False)
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0), batch=1, height=32, width=32)
+    window = _rand(1, 4, 32, 32, 3)
+    states = model.initial_state(1, 32, 32)
+    outs_a, _ = model.apply_window(params, window, states)
+    model_b = build_model(dataclasses.replace(cfg, d2s_via_conv=True))
+    outs_b, _ = model_b.apply_window(params, window, states)
+    for a, b in zip(outs_a, outs_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_s2d_via_conv_model_flag_exact():
     """model.s2d_via_conv is a pure layout A/B: identical outputs."""
     cfg = dataclasses.replace(SMALL, stem_factor=2)

@@ -237,6 +237,10 @@ def main():
     p.add_argument("--int8-min-cin", type=int, default=0,
                    help="model.conv_int8_min_cin for --int8 (bench default "
                         "serving scope is 256)")
+    p.add_argument("--d2s-conv", action="store_true",
+                   help="model.d2s_via_conv=true (decoder phase interleave "
+                        "as a one-hot transposed conv — the round-4 layout-"
+                        "thrash fix candidate)")
     p.add_argument("--int8-lstm", action="store_true",
                    help="model.conv_int8_lstm=true (part of the bench "
                         "default mode since runs/BENCH_OVERRIDES.json)")
@@ -260,6 +264,7 @@ def main():
     cfg = ModelConfig(name="prf", base_features=args.base,
                       stem_factor=args.stem, dtype="bfloat16",
                       s2d_via_conv=args.s2d_via_conv,
+                      d2s_via_conv=args.d2s_conv,
                       conv_int8=args.int8,
                       conv_int8_min_cin=args.int8_min_cin,
                       conv_int8_lstm=args.int8_lstm)
