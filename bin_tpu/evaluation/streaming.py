@@ -105,8 +105,14 @@ class StreamingSession:
         def ingest(frame: jax.Array) -> jax.Array:
             # uint8 frames (what a video decoder actually produces) are
             # normalized ON DEVICE: 4x less host→device traffic per key.
+            # Packed BEFORE normalizing: space_to_depth is a permutation,
+            # so it commutes bit-exactly with the pointwise /255 — and the
+            # layout move on uint8 touches half the bytes of bf16 (and the
+            # normalize fuses into the head conv's input).
             if frame.dtype == jnp.uint8:
-                frame = frame.astype(jnp.float32) / 255.0
+                from bin_tpu.ops.pixel_shuffle import space_to_depth
+                packed = space_to_depth(frame, f)
+                return (packed.astype(jnp.float32) / 255.0).astype(dt)
             return pack(frame.astype(dt), f)
 
         @functools.partial(jax.jit, donate_argnums=(1,))
@@ -119,13 +125,23 @@ class StreamingSession:
         # device FLOPs, dominated the round-1/-2 serving latency
         # (docs/DESIGN.md §4c).
         def _finalize(emitted: jax.Array) -> jax.Array:
-            """Packed stacked emissions → delivery format (fp32 or u8)."""
-            out = model.unpack(emitted)
+            """Packed stacked emissions → delivery format (fp32 or u8).
+
+            u8 mode quantizes IN PACKED DOMAIN and unpacks the uint8
+            tensor: depth_to_space is a pure permutation, so it commutes
+            bit-exactly with the pointwise clip/scale/round — and the
+            full-resolution layout move then touches 1/4 the bytes of the
+            old fp32-unpack-then-quantize order (the unpack transpose runs
+            at copy speed, so bytes moved IS its cost — round-4 HLO
+            audit)."""
+            from bin_tpu.ops.pixel_shuffle import depth_to_space
+
             if self.emit_u8:
-                out = jnp.round(
-                    jnp.clip(out.astype(jnp.float32), 0.0, 1.0) * 255.0
+                q = jnp.round(
+                    jnp.clip(emitted.astype(jnp.float32), 0.0, 1.0) * 255.0
                 ).astype(jnp.uint8)
-            return out
+                return depth_to_space(q, model.cfg.stem_factor)
+            return model.unpack(emitted)
 
         @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(2, 3))
         def _step_emit(params, frame, stack, states, first: bool):
@@ -242,12 +258,17 @@ class StreamingSession:
         if not self._pending:
             return []
         times = [t for ts, _ in self._pending for t in ts]
-        stacked = self.model.unpack(
-            jnp.concatenate([e for _, e in self._pending], axis=0))
+        packed = jnp.concatenate([e for _, e in self._pending], axis=0)
         if self.emit_u8:
-            stacked = jnp.round(
-                jnp.clip(stacked.astype(jnp.float32), 0.0, 1.0) * 255.0
+            # quantize in packed domain, unpack the uint8 tensor — same
+            # permutation-commutes-with-pointwise argument as _finalize
+            from bin_tpu.ops.pixel_shuffle import depth_to_space
+            q = jnp.round(
+                jnp.clip(packed.astype(jnp.float32), 0.0, 1.0) * 255.0
             ).astype(jnp.uint8)
+            stacked = depth_to_space(q, self.model.cfg.stem_factor)
+        else:
+            stacked = self.model.unpack(packed)
         self._pending = []
         host = np.asarray(jax.device_get(stacked))
         return sorted(zip(times, host), key=lambda tf: tf[0])

@@ -237,6 +237,10 @@ def main():
     p.add_argument("--int8-min-cin", type=int, default=0,
                    help="model.conv_int8_min_cin for --int8 (bench default "
                         "serving scope is 256)")
+    p.add_argument("--clip", type=int, default=0, metavar="KEYS",
+                   help="trace model.infer_clip on a KEYS-frame clip (the "
+                        "bench graph: pack once, scan windows, assemble + "
+                        "unpack) instead of one raw apply_window")
     p.add_argument("--d2s-conv", action="store_true",
                    help="model.d2s_via_conv=true (decoder phase interleave "
                         "as a one-hot transposed conv — the round-4 layout-"
@@ -271,23 +275,38 @@ def main():
     model = build_model(cfg)
     params = model.init(jax.random.key(0), batch=1, height=64, width=64)
     rng = np.random.default_rng(0)
-    window = jnp.asarray(rng.uniform(
-        0, 1, (1, 4, args.height, args.width, 3)).astype(np.float32))
-    states = model.initial_state(1, args.height, args.width)
+    if args.clip:
+        clip = jnp.asarray(rng.uniform(
+            0, 1, (1, args.clip, args.height, args.width, 3)
+        ).astype(np.float32))
 
-    @jax.jit
-    def step(p_, w, s):
-        outs, ns = model.apply_window(p_, w, s, producer_clamp=True)
-        return (sum(jnp.sum(o) for o in outs)
-                + sum(jnp.sum(h) + jnp.sum(c) for h, c in ns))
+        @jax.jit
+        def step(p_, c):
+            video, _times = model.infer_clip(p_, c)
+            return jnp.sum(video)
 
-    compiled = step.lower(params, window, states).compile()
+        compiled = step.lower(params, clip).compile()
+    else:
+        window = jnp.asarray(rng.uniform(
+            0, 1, (1, 4, args.height, args.width, 3)).astype(np.float32))
+        states = model.initial_state(1, args.height, args.width)
+
+        @jax.jit
+        def step(p_, w, s):
+            outs, ns = model.apply_window(p_, w, s, producer_clamp=True)
+            return (sum(jnp.sum(o) for o in outs)
+                    + sum(jnp.sum(h) + jnp.sum(c) for h, c in ns))
+
+        compiled = step.lower(params, window, states).compile()
     if args.dump_hlo:
         with open(args.dump_hlo, "w") as f:
             f.write(compiled.as_text())
         print(f"optimized HLO -> {args.dump_hlo} (device not touched)")
         return
-    durs = capture_trace(lambda: step(params, window, states))
+    if args.clip:
+        durs = capture_trace(lambda: step(params, clip))
+    else:
+        durs = capture_trace(lambda: step(params, window, states))
     report(compiled.as_text(), durs, args.top, json_out=args.json)
 
 
