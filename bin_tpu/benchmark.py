@@ -31,10 +31,20 @@ PyTorch on an A100.  Its throughput is estimated as
     a100_fps = A100_PEAK_FLOPS * EAGER_MFU / flops_per_output_frame
 with A100 dense bf16 peak 312 TFLOP/s and an assumed eager-mode conv-net
 MFU of 0.25 (typical for unfused eager CNN pipelines), and
-flops_per_output_frame measured from OUR compiled HLO via XLA cost analysis
+flops_per_output_frame measured via XLA cost analysis of the MODEL's math
 (same architecture → same FLOPs).  vs_baseline = our_fps / a100_fps; the
 driver target (BASELINE.json:5) of ">=1.2x A100-equivalent" is met when
 vs_baseline >= 1.2.
+
+FLOP accounting (VERDICT r4 missing #3): the SHIPPING graph implements
+depth/space-to-depth as one-hot helper convolutions (a TPU layout trick,
+ops/pixel_shuffle.py) whose MACs the eager reference performs as a free
+reshape view.  Counting those phantom FLOPs into the denominator would
+inflate the estimated A100 work term, so the denominator is lowered from
+the bit-exact RESHAPE-form graph (all pack/unpack impl flags off) —
+``model_flops`` — while the shipping graph's count is reported alongside
+as ``graph_flops`` for transparency.  vs_baseline and mfu_sensitivity use
+``model_flops`` only.
 """
 
 from __future__ import annotations
@@ -391,29 +401,52 @@ def _run(args):
     # a lax.scan body ONCE regardless of trip count (verified in this
     # environment), so lower a single WINDOW step and multiply by the number
     # of windows instead of lowering the scanned clip program.
+    #
+    # TWO counts are taken (module docstring "FLOP accounting"):
+    #   graph_flops — the shipping graph, incl. one-hot d2s/s2d helper-conv
+    #     MACs (layout trick; phantom work the eager reference does as a
+    #     free view);
+    #   model_flops — the bit-exact reshape-form graph (pack/unpack impl
+    #     flags forced off), the architecture's real math.
+    # The A100 denominator uses model_flops.
     vs_baseline = None
-    flops_per_frame = None
+    flops_per_frame = flops_per_frame_graph = None
     try:
         from bin_tpu.models.recurrent import num_windows
         n_win = num_windows(k, cfg.model.window_size)
         window = blurry[:, : cfg.model.window_size]
         states = model.initial_state(b, h, w)
 
-        def one_window(p, w, s):
-            outs, ns = model.apply_window(p, w, s)
-            return (sum(jnp.sum(o) for o in outs)
-                    + sum(jnp.sum(x) + jnp.sum(c) for x, c in ns))
+        def window_flops_of(m):
+            def one_window(p, w, s):
+                outs, ns = m.apply_window(p, w, s)
+                return (sum(jnp.sum(o) for o in outs)
+                        + sum(jnp.sum(x) + jnp.sum(c) for x, c in ns))
+            cost = (jax.jit(one_window).lower(params, window, states)
+                    .compile().cost_analysis())
+            return float(cost.get("flops", 0.0))
 
-        cost = (jax.jit(one_window).lower(params, window, states)
-                .compile().cost_analysis())
-        window_flops = float(cost.get("flops", 0.0))
-        if window_flops > 0:
-            flops_per_frame = window_flops * n_win / out_frames
+        graph_window_flops = window_flops_of(model)
+        try:
+            math_cfg = get_config("config5_v5e_streaming", overrides + [
+                "model.d2s_via_conv=false", "model.s2d_via_conv=false",
+                "model.s2d_pallas=false"])
+            model_window_flops = window_flops_of(build_model(math_cfg))
+        except Exception as e:
+            log(f"reshape-form lowering failed ({e}); falling back to "
+                f"graph flops for the denominator")
+            model_window_flops = graph_window_flops
+        if model_window_flops > 0:
+            flops_per_frame = model_window_flops * n_win / out_frames
+            flops_per_frame_graph = graph_window_flops * n_win / out_frames
             a100_fps = A100_PEAK_FLOPS * EAGER_MFU / flops_per_frame
             vs_baseline = fps / a100_fps
-            log(f"window flops {window_flops:.3e} x {n_win} windows -> "
-                f"{flops_per_frame:.3e}/output-frame; effective "
-                f"{flops_per_frame * fps / 1e12:.1f} TFLOP/s; "
+            log(f"model window flops {model_window_flops:.3e} x {n_win} "
+                f"windows -> {flops_per_frame:.3e}/output-frame "
+                f"(shipping graph: {flops_per_frame_graph:.3e}, "
+                f"+{(flops_per_frame_graph / flops_per_frame - 1) * 100:.1f}% "
+                f"helper-conv overhead); effective "
+                f"{flops_per_frame * fps / 1e12:.1f} model-TFLOP/s; "
                 f"estimated eager-A100 fps: {a100_fps:.2f}")
     except Exception as e:  # cost analysis is best-effort on experimental PJRT
         log(f"cost_analysis unavailable: {e}")
@@ -435,7 +468,11 @@ def _run(args):
                          if cfg.model.conv_int8 else " bf16-only")),
             "quality_note": release_quality_note(),
             "median_ms": round(dt * 1e3, 2),
+            # model_flops: the architecture's real math (reshape-form
+            # lowering) — the vs_baseline denominator.  graph_flops: the
+            # shipping graph incl. one-hot layout-helper convs.
             "flops_per_output_frame": flops_per_frame,
+            "flops_per_output_frame_graph": flops_per_frame_graph,
             "baseline_model": f"A100 eager est. ({EAGER_MFU:.0%} MFU of "
                               f"{A100_PEAK_FLOPS / 1e12:.0f} TFLOP/s)",
             # Sensitivity: vs_baseline scales as 0.25/assumed_MFU. The >=1.2
