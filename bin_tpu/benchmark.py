@@ -131,10 +131,16 @@ def release_quality_note() -> str:
     Picks the weights/*.npz card with the HIGHEST psnr_overall — the quality
     record — not the newest file: round 4's int8-QAT export briefly made a
     side experiment (-0.26 dB, verdict flip=false) the newest card and the
-    bench note silently downgraded itself to the losing number."""
+    bench note silently downgraded itself to the losing number.
+
+    Only cards measured under the PINNED protocol compete (ADVICE r4): a
+    card whose headline eval ran at, say, 352x640 scores ~2 dB higher for
+    protocol reasons alone and would win on a non-comparable number."""
     import glob
 
     from bin_tpu.weights import read_card
+    # tools/quality_eval.py defaults = the repo's pinned protocol
+    PINNED = {"size": [256, 256], "clips": 16, "keys": 12, "seed": 9999}
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     best = None
     for p in sorted(glob.glob(os.path.join(repo, "weights", "*.npz")),
@@ -144,6 +150,9 @@ def release_quality_note() -> str:
         except Exception:
             continue
         psnr = meta.get("psnr_overall")
+        proto = meta.get("eval_protocol") or {}
+        if any(proto.get(k) != v for k, v in PINNED.items()):
+            continue
         if isinstance(psnr, float) and (
                 best is None or psnr > best[1]["psnr_overall"]):
             best = (os.path.relpath(p, repo), meta)

@@ -102,6 +102,12 @@ class StreamingSession:
         dt = jnp.dtype(model.cfg.dtype)
         pack = input_pack_fn(model.cfg)
 
+        # a non-default pack impl (A/B flags) must be what serving actually
+        # measures — the uint8 fast path below would otherwise silently
+        # bypass it (ADVICE r4)
+        custom_pack = bool(getattr(model.cfg, "s2d_via_conv", False)
+                           or getattr(model.cfg, "s2d_pallas", False))
+
         def ingest(frame: jax.Array) -> jax.Array:
             # uint8 frames (what a video decoder actually produces) are
             # normalized ON DEVICE: 4x less host→device traffic per key.
@@ -110,6 +116,12 @@ class StreamingSession:
             # layout move on uint8 touches half the bytes of bf16 (and the
             # normalize fuses into the head conv's input).
             if frame.dtype == jnp.uint8:
+                if custom_pack:
+                    # normalize first (pointwise commutes bit-exactly with
+                    # the permutation), then run the CONFIGURED pack on the
+                    # compute dtype it supports
+                    return pack((frame.astype(jnp.float32) / 255.0)
+                                .astype(dt), f)
                 from bin_tpu.ops.pixel_shuffle import space_to_depth
                 packed = space_to_depth(frame, f)
                 return (packed.astype(jnp.float32) / 255.0).astype(dt)

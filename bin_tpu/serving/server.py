@@ -62,13 +62,6 @@ class _Stream:
         #                      lose frames into) the already-drained session
         self.keys_pushed = 0
         self.frames_delivered = 0
-        # last push's server-side phase timings (ms), for the X-Push-Ms /
-        # X-Poll-Ms response headers: the round-4 720p bench saw a ~300 s
-        # stall at one specific key with the socket exonerated, and only a
-        # server-side split can say whether the device dispatch
-        # (session.push) or the ready-frame fetch (session.poll) blocks
-        self.last_push_ms = 0.0
-        self.last_poll_ms = 0.0
 
 
 class FrameServer:
@@ -130,9 +123,14 @@ class FrameServer:
         return stream
 
     # -- data path --------------------------------------------------------
-    def push(self, sid: str, frame: np.ndarray) -> list[tuple[int, np.ndarray]]:
-        """Feed one (H, W, 3) u8 key frame; returns (time, (H, W, 3) u8)
-        output frames whose transfer has completed (non-blocking)."""
+    def push(self, sid: str, frame: np.ndarray) -> tuple[
+            list[tuple[int, np.ndarray]], tuple[float, float]]:
+        """Feed one (H, W, 3) u8 key frame; returns (ready, timing):
+        ready = (time, (H, W, 3) u8) output frames whose transfer has
+        completed (non-blocking); timing = THIS push's (push_ms, poll_ms)
+        phase split, returned directly rather than stashed on the stream —
+        two concurrent pushes on one sid must not swap each other's
+        response-header timings (ADVICE r4)."""
         import time
         stream = self._get(sid)
         with stream.lock:
@@ -144,10 +142,9 @@ class FrameServer:
             stream.keys_pushed += 1
             ready = stream.session.poll()
             t2 = time.monotonic()
-            stream.last_push_ms = 1e3 * (t1 - t0)
-            stream.last_poll_ms = 1e3 * (t2 - t1)
             stream.frames_delivered += len(ready)
-        return [(t, f[0]) for t, f in ready]
+        return ([(t, f[0]) for t, f in ready],
+                (1e3 * (t1 - t0), 1e3 * (t2 - t1)))
 
     def close(self, sid: str) -> list[tuple[int, np.ndarray]]:
         """Flush trailing emissions, block for in-flight fetches, stop the
@@ -270,10 +267,9 @@ def _make_handler(server: FrameServer):
                             f"{stream.height}x{stream.width}x3)")
                     frame = np.frombuffer(body, np.uint8).reshape(
                         stream.height, stream.width, 3)
-                    ready = server.push(sid, frame)
+                    ready, timing = server.push(sid, frame)
                     return self._frames(
-                        ready, stream.height, stream.width,
-                        timing=(stream.last_push_ms, stream.last_poll_ms))
+                        ready, stream.height, stream.width, timing=timing)
                 if verb == "close":
                     stream = server._get(sid)
                     return self._frames(server.close(sid),

@@ -223,7 +223,7 @@ def test_spatial_sharded_server_matches_plain():
         sid = server.create_stream(H, W)
         got = {}
         for f in frames:
-            got.update({t: fr for t, fr in server.push(sid, f)})
+            got.update({t: fr for t, fr in server.push(sid, f)[0]})
         got.update({t: fr for t, fr in server.close(sid)})
         outs.append(got)
     a, b = outs
