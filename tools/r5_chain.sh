@@ -49,4 +49,12 @@ run_step serving_http 3600 runs/serving_http_r5.json \
   python tools/bench_serving_http.py --streams 2 --keys 16 \
     --weights weights/prf_ema_r4.npz
 
+# --- 4. flag-debt re-measures on the new graph (VERDICT r4 task 7) --------
+# confirm (or overturn) the stale-graph negatives before demoting the flags:
+# pallas LSTM was -38% pre-d2s; MSE-clip PTQ calibration was ~no-gain
+bash tools/run_experiment.sh r5_pallas_lstm --no-eval \
+  model.use_pallas_lstm=true
+bash tools/run_experiment.sh r5_mseclip \
+  model.conv_int8_mse_clip=true
+
 echo "=== r5_chain done $(date -u)" >> "$QUEUE_LOG"
