@@ -69,6 +69,20 @@ class ModelConfig:
                                    # ~3.4 ms of bf16 the backbone scoping
                                    # misses (round-4 trace); gate/state
                                    # math stays fp32. Needs conv_int8.
+    conv_int8_static: str = ""     # path to calibrated static activation
+                                   # scales (.npz from tools/
+                                   # calibrate_int8.py). Replaces the
+                                   # dynamic per-activation abs-max reduce
+                                   # (x read twice from HBM + a serializing
+                                   # reduction per quantized conv) with a
+                                   # trace-time constant scale; out-of-range
+                                   # activations saturate at +-127.
+                                   # Measurement-gated like every int8 knob.
+    conv_int8_calibrate: bool = False  # calibration forward pass: plain
+                                   # float convs, but record each would-be-
+                                   # quantized conv input's abs-max into the
+                                   # mutable "quant_stats" collection
+                                   # (superset scope: min_cin ignored).
     fused_upsample: bool = True    # decoder upsample-conv as one phase-bank
                                    # conv (ops/fused_upsample.py); False =
                                    # unfused upsample-then-conv (identical

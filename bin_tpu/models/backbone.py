@@ -55,6 +55,12 @@ class Backbone(nn.Module):
                                    # conv_int8's op choice, same scoping)
     conv_int8_mse_clip: bool = False  # PTQ weight scales via MSE-optimal
                                    # clip search (ops/quant.py), not abs-max
+    conv_int8_calibrate: bool = False  # record per-conv input abs-max into
+                                   # the mutable quant_stats collection
+                                   # (tools/calibrate_int8.py pass)
+    conv_int8_scales: Any = None   # static calibrated activation scales
+                                   # ({conv path -> float}); kills the
+                                   # dynamic abs-max reduce per conv
     upsample_d2s_conv: bool = False  # decoder phase interleave via one-hot
                                    # transposed conv (bit-exact layout fix;
                                    # ops/fused_upsample.py, BASELINE.md
@@ -79,22 +85,25 @@ class Backbone(nn.Module):
         chans = [self.base_features * m for m in self.channel_mult]
         x = jnp.concatenate([frame_a, frame_b], axis=-1).astype(self.dtype)
 
-        q = ("qat" if self.conv_int8_qat else
+        q = ("calib" if self.conv_int8_calibrate else
+             "qat" if self.conv_int8_qat else
              ("mse" if self.conv_int8 and self.conv_int8_mse_clip
               else self.conv_int8))
         qmc = self.conv_int8_min_cin
+        qsc = self.conv_int8_scales
         x = ConvBlock(chans[0], self.slope, dtype=self.dtype,
                       param_dtype=self.param_dtype, quant=q,
-                      quant_min_cin=qmc, name="head")(x)
+                      quant_min_cin=qmc, quant_scales=qsc, name="head")(x)
         skips = []
         for i, ch in enumerate(chans[:-1]):
             x = ResBlock(ch, self.slope, dtype=self.dtype, quant=q,
-                         quant_min_cin=qmc,
+                         quant_min_cin=qmc, quant_scales=qsc,
                          param_dtype=self.param_dtype, name=f"enc_{i}")(x)
             skips.append(x)
             x = Downsample(chans[i + 1], self.slope, dtype=self.dtype,
                            param_dtype=self.param_dtype, quant=q,
-                           quant_min_cin=qmc, name=f"down_{i}")(x)
+                           quant_min_cin=qmc, quant_scales=qsc,
+                           name=f"down_{i}")(x)
 
         if context is not None:
             x = x + conv1x1(chans[-1], dtype=self.dtype,
@@ -103,7 +112,7 @@ class Backbone(nn.Module):
 
         for i in range(self.num_res_blocks):
             x = ResBlock(chans[-1], self.slope, dtype=self.dtype, quant=q,
-                         quant_min_cin=qmc,
+                         quant_min_cin=qmc, quant_scales=qsc,
                          param_dtype=self.param_dtype, name=f"mid_{i}")(x)
         feats = x  # bottleneck features (ConvLSTM input, PRF)
 
@@ -114,7 +123,7 @@ class Backbone(nn.Module):
                          d2s_conv=self.upsample_d2s_conv, name=f"up_{i}")(x)
             x = x + skips[i]
             x = ResBlock(ch, self.slope, dtype=self.dtype, quant=q,
-                         quant_min_cin=qmc,
+                         quant_min_cin=qmc, quant_scales=qsc,
                          param_dtype=self.param_dtype, name=f"dec_{i}")(x)
 
         # Zero-init tail: at init every level predicts exactly the average of

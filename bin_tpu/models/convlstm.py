@@ -53,20 +53,30 @@ class ConvLSTMCell(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     use_pallas: bool = False  # fuse gate math with the Pallas kernel
-    quant: bool = False  # int8 PTQ on the gate conv (model.conv_int8_lstm):
+    quant: Any = False  # int8 PTQ on the gate conv (model.conv_int8_lstm):
     #                      the k(3,3,768,1024) gate conv is ~3.4 ms of bf16
     #                      left on the table by the backbone-only int8
     #                      scoping (round-4 trace).  Recurrent state math
     #                      stays fp32 — only the conv quantizes; the carry
     #                      still accumulates noise across windows, so this
     #                      ships measurement-gated like every int8 scope.
+    #                      "calib" records the two input abs-maxes instead
+    #                      (tools/calibrate_int8.py).
+    quant_scales: Any = None  # static calibrated act scales: keys
+    #                           "<path>/gates_x" and "<path>/gates_h"
 
     @nn.compact
     def __call__(self, x: jax.Array, state: tuple[jax.Array, jax.Array]):
         """x (B,h,w,Cin), state ((B,h,w,F), (B,h,w,F)) → (new_h, new_c)."""
         h, c = state
         inp = jnp.concatenate([x.astype(self.dtype), h.astype(self.dtype)], axis=-1)
-        if self.quant:
+        if self.quant == "calib":
+            for nm, t in (("gates_x", x), ("gates_h", h)):
+                self.sow("quant_stats", f"{nm}_amax",
+                         jnp.max(jnp.abs(t.astype(jnp.float32))),
+                         reduce_fn=jnp.maximum,
+                         init_fn=lambda: jnp.float32(0.0))
+        if self.quant and self.quant != "calib":
             from bin_tpu.models.layers import _ConvParams
             from bin_tpu.ops.quant import int8_conv
             kernel, bias = _ConvParams(
@@ -79,9 +89,14 @@ class ConvLSTMCell(nn.Module):
             # (measured 0.51 max output deviation on the joint form vs
             # ~int8-normal when split; tests/test_quant.py lstm test).
             cx = x.shape[-1]
-            gates = (int8_conv(x.astype(self.dtype), kernel[:, :, :cx], bias)
+            sx = sh = None
+            if self.quant_scales is not None:
+                sx = self.quant_scales["/".join((*self.path, "gates_x"))]
+                sh = self.quant_scales["/".join((*self.path, "gates_h"))]
+            gates = (int8_conv(x.astype(self.dtype), kernel[:, :, :cx], bias,
+                               act_scale=sx)
                      + int8_conv(h.astype(self.dtype), kernel[:, :, cx:],
-                                 None)).astype(self.dtype)
+                                 None, act_scale=sh)).astype(self.dtype)
         else:
             gates = nn.Conv(4 * self.features, self.kernel_size,
                             padding="SAME", kernel_init=_KERNEL_INIT,

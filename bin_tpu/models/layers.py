@@ -32,7 +32,8 @@ def conv1x1(features: int, *, dtype: Any = jnp.float32,
 
 
 def _conv3x3_maybe_quant(x, features, *, strides=1, dtype, param_dtype,
-                         quant, quant_min_cin=0, name):
+                         quant, quant_min_cin=0, quant_scales=None,
+                         owner=None, name):
     """conv3x3 as nn.Conv (default) or as the int8 PTQ conv (ops/quant.py).
 
     Plain function, NOT a module: both branches create a child of the
@@ -51,7 +52,22 @@ def _conv3x3_maybe_quant(x, features, *, strides=1, dtype, param_dtype,
     one outlier weight stretch a whole channel's grid — ops/quant.py);
     "qat" = training-time fake-quant conv (same quantizer, straight-through
     gradients — ops/quant.py:fake_quant_conv) so a fine-tune learns the
-    deployment quantization error."""
+    deployment quantization error; "calib" = plain conv + record this
+    conv's input abs-max into the mutable ``quant_stats`` collection
+    (max-reduced across calls/windows/clips — tools/calibrate_int8.py).
+
+    ``quant_scales``: static calibrated activation scales
+    ({path key -> float}); with it the int8 path skips the dynamic abs-max
+    reduction (see ops/quant.py int8_conv).  ``owner`` (the calling module)
+    provides the path key and the sow scope; required for "calib" and for
+    ``quant_scales``."""
+    if quant == "calib":
+        # record superset scope (min_cin=0): the serving scope dial only
+        # ever narrows which keys get USED, never which exist
+        owner.sow("quant_stats", f"{name}_amax",
+                  jnp.max(jnp.abs(x.astype(jnp.float32))),
+                  reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0.0))
+        quant = False
     if not quant or x.shape[-1] < quant_min_cin:
         return conv3x3(features, strides=strides, dtype=dtype,
                        param_dtype=param_dtype, name=name)(x)
@@ -61,8 +77,17 @@ def _conv3x3_maybe_quant(x, features, *, strides=1, dtype, param_dtype,
     if quant == "qat":
         out = fake_quant_conv(x, kernel, bias, strides=(strides, strides))
     else:
+        act_scale = None
+        if quant_scales is not None:
+            key = "/".join((*owner.path, name))
+            if key not in quant_scales:
+                raise KeyError(
+                    f"no calibrated activation scale for conv {key!r} "
+                    f"(have {sorted(quant_scales)[:8]}...); re-run "
+                    "tools/calibrate_int8.py against this architecture")
+            act_scale = quant_scales[key]
         out = int8_conv(x, kernel, bias, strides=(strides, strides),
-                        weight_mse_clip=quant == "mse")
+                        weight_mse_clip=quant == "mse", act_scale=act_scale)
     return out.astype(dtype)
 
 
@@ -74,8 +99,9 @@ class ConvBlock(nn.Module):
     strides: int = 1
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
-    quant: Any = False  # False | True (int8 PTQ) | "qat" (fake-quant)
+    quant: Any = False  # False | True (int8 PTQ) | "qat" | "calib"
     quant_min_cin: int = 0
+    quant_scales: Any = None  # static calibrated act scales (layers doc)
 
     @nn.compact
     def __call__(self, x):
@@ -84,6 +110,7 @@ class ConvBlock(nn.Module):
                                  param_dtype=self.param_dtype,
                                  quant=self.quant,
                                  quant_min_cin=self.quant_min_cin,
+                                 quant_scales=self.quant_scales, owner=self,
                                  name="Conv_0")
         return nn.leaky_relu(x, self.slope)
 
@@ -96,8 +123,9 @@ class ResBlock(nn.Module):
     slope: float = 0.1
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
-    quant: Any = False  # False | True (int8 PTQ) | "qat" (fake-quant)
+    quant: Any = False  # False | True (int8 PTQ) | "qat" | "calib"
     quant_min_cin: int = 0
+    quant_scales: Any = None  # static calibrated act scales (layers doc)
 
     @nn.compact
     def __call__(self, x):
@@ -105,12 +133,14 @@ class ResBlock(nn.Module):
                                  param_dtype=self.param_dtype,
                                  quant=self.quant,
                                  quant_min_cin=self.quant_min_cin,
+                                 quant_scales=self.quant_scales, owner=self,
                                  name="Conv_0")
         h = nn.leaky_relu(h, self.slope)
         h = _conv3x3_maybe_quant(h, self.features, dtype=self.dtype,
                                  param_dtype=self.param_dtype,
                                  quant=self.quant,
                                  quant_min_cin=self.quant_min_cin,
+                                 quant_scales=self.quant_scales, owner=self,
                                  name="Conv_1")
         return x + h
 
@@ -122,8 +152,9 @@ class Downsample(nn.Module):
     slope: float = 0.1
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
-    quant: Any = False  # False | True (int8 PTQ) | "qat" (fake-quant)
+    quant: Any = False  # False | True (int8 PTQ) | "qat" | "calib"
     quant_min_cin: int = 0
+    quant_scales: Any = None  # static calibrated act scales (layers doc)
 
     @nn.compact
     def __call__(self, x):
@@ -132,6 +163,7 @@ class Downsample(nn.Module):
                                  param_dtype=self.param_dtype,
                                  quant=self.quant,
                                  quant_min_cin=self.quant_min_cin,
+                                 quant_scales=self.quant_scales, owner=self,
                                  name="Conv_0")
         return nn.leaky_relu(x, self.slope)
 

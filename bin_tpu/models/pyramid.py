@@ -78,6 +78,10 @@ class BINPyramid(nn.Module):
         dtype = jnp.dtype(c.dtype)
         pdtype = jnp.dtype(c.param_dtype)
         n = total_levels(c)
+        scales = None
+        if c.conv_int8_static:
+            from bin_tpu.ops.quant import load_act_scales
+            scales = load_act_scales(c.conv_int8_static)
         self.backbones = [
             Backbone(base_features=c.base_features, channel_mult=c.channel_mult,
                      num_res_blocks=c.num_res_blocks, slope=c.lrelu_slope,
@@ -87,6 +91,8 @@ class BINPyramid(nn.Module):
                      conv_int8_min_cin=c.conv_int8_min_cin,
                      conv_int8_qat=c.conv_int8_qat,
                      conv_int8_mse_clip=c.conv_int8_mse_clip,
+                     conv_int8_calibrate=c.conv_int8_calibrate,
+                     conv_int8_scales=scales,
                      upsample_d2s_conv=c.d2s_via_conv,
                      name=f"level_{l}")
             for l in range(1, n + 1)
@@ -96,7 +102,10 @@ class BINPyramid(nn.Module):
                 ConvLSTMCell(features=c.convlstm_features, dtype=dtype,
                              param_dtype=pdtype,
                              use_pallas=c.use_pallas_lstm,
-                             quant=bool(c.conv_int8 and c.conv_int8_lstm),
+                             quant=("calib" if c.conv_int8_calibrate else
+                                    bool(c.conv_int8 and c.conv_int8_lstm)),
+                             quant_scales=(scales if c.conv_int8_lstm
+                                           else None),
                              name=f"lstm_{l}")
                 for l in range(1, n + 1)
             ]

@@ -20,11 +20,26 @@ lowers int8 conv to the fast MXU path on this chip; the model flag
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["int8_conv", "quantize_symmetric", "fake_quant", "fake_quant_conv"]
+__all__ = ["int8_conv", "quantize_symmetric", "fake_quant", "fake_quant_conv",
+           "load_act_scales"]
+
+
+@functools.lru_cache(maxsize=8)
+def load_act_scales(path: str) -> dict:
+    """Calibrated static activation scales (.npz written by
+    tools/calibrate_int8.py): {conv path key -> fp32 scale}.  Cached per
+    path — the scales are trace-time CONSTANTS (see int8_conv act_scale),
+    so a process that rewrites the file must be a different process from
+    the one serving with it (the tools are; documented there)."""
+    import numpy as np
+    data = np.load(path)
+    return {k: float(data[k]) for k in data.files}
 
 
 def quantize_symmetric(x: jax.Array, axis=None,
@@ -114,17 +129,31 @@ def fake_quant_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
 def int8_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array | None,
               strides: tuple[int, int] = (1, 1),
               padding: str = "SAME",
-              weight_mse_clip: bool = False) -> jax.Array:
+              weight_mse_clip: bool = False,
+              act_scale: float | None = None) -> jax.Array:
     """PTQ conv: int8 x int8 -> int32 MXU conv, fp32 dequant (+ bias).
 
     kernel (kh, kw, cin, cout) fp32/bf16 — quantized per-output-channel
     in-graph (constant-folded under jit).  Output fp32.
     ``weight_mse_clip``: MSE-optimal clipped weight scales instead of
     abs-max (see quantize_symmetric; compile-time cost only).
+    ``act_scale``: STATIC calibrated activation scale (a Python float, a
+    trace-time constant).  Without it the activation scale is dynamic
+    abs-max — a full reduction over x that reads the tensor from HBM once
+    for the max and again for the quantize, and serializes the quantize
+    behind the reduce.  With it the quantize is pure elementwise (scale,
+    round, clip, cast) and fuses into x's producer; activations beyond the
+    calibrated range saturate at +-127, which is the quality trade the
+    pinned-protocol eval gates (tools/calibrate_int8.py).
     """
     qk, kscale = quantize_symmetric(kernel, axis=(0, 1, 2),
                                     mse_clip=weight_mse_clip)  # (1,1,1,cout)
-    qx, ascale = quantize_symmetric(x)                        # per-tensor
+    if act_scale is None:
+        qx, ascale = quantize_symmetric(x)                    # per-tensor
+    else:
+        ascale = jnp.float32(act_scale)
+        qx = jnp.clip(jnp.round(x.astype(jnp.float32) / ascale),
+                      -127, 127).astype(jnp.int8)
     out = lax.conv_general_dilated(
         qx, qk, strides, padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -316,3 +316,76 @@ def test_conv_int8_lstm_scopes_gate_conv():
     hq, cq = cell_q.apply(pc, cx, (ch, cc))
     assert float(jnp.abs(hf - hq).max()) < 0.15
     assert float(jnp.abs(cf - cq).max()) < 0.2
+
+
+def test_static_act_scales_calibrate_and_match_dynamic(tmp_path):
+    """Full static-scale loop: calibration pass sows one abs-max per
+    would-be-quantized conv (incl. the two ConvLSTM gate inputs), the
+    scales file drives model.conv_int8_static, and the static graph's
+    error vs fp32 stays in the same band as the dynamic-scale graph
+    (when the calibration data covers the eval data, the static scale
+    IS the dynamic scale's upper envelope)."""
+    base = dict(dtype="float32", base_features=16, convlstm_features=32,
+                conv_int8_min_cin=0)
+    cfg = get_config("config3_prf")
+    mk = lambda **kw: build_model(dataclasses.replace(
+        cfg.model, **{**base, **kw}))
+    m_cal = mk(conv_int8_calibrate=True)
+    params = m_cal.init(jax.random.key(0), height=32, width=32)
+    # zero-init tails mask the backbone at init — perturb for signal
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.key(7), len(leaves))
+    params = jax.tree_util.tree_unflatten(treedef, [
+        l + 0.01 * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, keys)])
+    clip = jnp.asarray(np.random.default_rng(3).uniform(
+        0, 1, (1, 6, 32, 32, 3)).astype(np.float32))
+
+    k = cfg.model.window_size
+    states = m_cal.initial_state(1, 32, 32)
+    merged = None
+    for s in range(clip.shape[1] - k + 1):
+        (_, states), upd = m_cal.module.apply(
+            {"params": params}, clip[:, s:s + k], states,
+            producer_clamp=True, mutable=["quant_stats"])
+        merged = upd["quant_stats"] if merged is None else jax.tree.map(
+            jnp.maximum, merged, upd["quant_stats"])
+    flat = jax.tree_util.tree_flatten_with_path(merged)[0]
+    scales = {}
+    for path, amax in flat:
+        parts = [p.key for p in path]
+        assert parts[-1].endswith("_amax")
+        key = "/".join(parts[:-1] + [parts[-1][: -len("_amax")]])
+        scales[key] = np.float32(max(float(amax), 1e-8) / 127.0)
+    # every backbone conv + the two gate inputs of the one LSTM per level
+    assert any(key.endswith("gates_x") for key in scales)
+    assert any(key.endswith("gates_h") for key in scales)
+    assert any("mid_0/Conv_0" in key for key in scales)
+    out = tmp_path / "scales.npz"
+    np.savez(out, **scales)
+
+    m_f = mk()
+    m_dyn = mk(conv_int8=True, conv_int8_lstm=True)
+    m_sta = mk(conv_int8=True, conv_int8_lstm=True,
+               conv_int8_static=str(out))
+    v_f = np.asarray(m_f.infer_clip(params, clip)[0])
+    v_dyn = np.asarray(m_dyn.infer_clip(params, clip)[0])
+    v_sta = np.asarray(m_sta.infer_clip(params, clip)[0])
+    assert np.abs(v_sta - v_f).mean() <= 2.0 * np.abs(v_dyn - v_f).mean() + 1e-6
+    # param tree untouched (pure serving flag over existing checkpoints)
+    p2 = m_sta.init(jax.random.key(0), height=32, width=32)
+    assert (jax.tree_util.tree_structure(p2)
+            == jax.tree_util.tree_structure(params))
+
+
+def test_int8_conv_static_scale_matches_dynamic_at_true_amax():
+    """With act_scale set to the tensor's true abs-max / 127, the static
+    path is BIT-identical to the dynamic path (same grid, no clipping)."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (1, 16, 16, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 0.1, (3, 3, 8, 12)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.1, (12,)).astype(np.float32))
+    scale = float(jnp.max(jnp.abs(x))) / 127.0
+    np.testing.assert_array_equal(
+        np.asarray(int8_conv(x, k, b)),
+        np.asarray(int8_conv(x, k, b, act_scale=scale)))
