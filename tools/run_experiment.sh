@@ -20,8 +20,12 @@
 #   --promote   if the verdict flips (quality holds AND fps > 1.01x control),
 #               MERGE the arm overrides into runs/BENCH_OVERRIDES.json so the
 #               round-end bench measures the proven-faster mode
-#   --weights   release .npz whose card defines the quality record and whose
-#               params the eval runs (default: highest-psnr committed card)
+#   --weights   release .npz whose params the eval runs (default:
+#               highest-psnr committed card)
+#   --record    release .npz whose card defines the quality-record floor
+#               (default: the highest-psnr committed card, NOT --weights —
+#               an experiment on a side release must still clear the
+#               repo's standing record budget)
 #   --bench-arg extra literal argument passed to the ARM bench only
 #               (e.g. --bench-arg --stem --bench-arg 4 for variant rows)
 #
@@ -34,12 +38,13 @@ source tools/queue_lib.sh
 
 NAME="${1:?usage: run_experiment.sh NAME [--no-eval] [--promote] [KEY=VALUE...]}"
 shift
-DO_EVAL=1 PROMOTE=0 REL="" BENCH_ARGS=() OVERRIDES=()
+DO_EVAL=1 PROMOTE=0 REL="" RECORD_REL="" BENCH_ARGS=() OVERRIDES=()
 while [ $# -gt 0 ]; do
   case "$1" in
     --no-eval) DO_EVAL=0 ;;
     --promote) PROMOTE=1 ;;
     --weights) REL="$2"; shift ;;
+    --record) RECORD_REL="$2"; shift ;;
     --bench-arg) BENCH_ARGS+=("$2"); shift ;;
     *=*) OVERRIDES+=("$1") ;;
     *) echo "unknown arg: $1" >&2; exit 2 ;;
@@ -52,9 +57,9 @@ mkdir -p "$WD"
 queue_init "$WD/chain.log" "${QUEUE_DEADLINE:-}"
 wait_for_tpu 1800 30 || exit 1
 
-# default release = the quality record (highest-psnr committed card)
-if [ -z "$REL" ]; then
-  REL=$(python - <<'PYEOF'
+# default release / record = the quality record (highest-psnr committed card)
+if [ -z "$REL" ] || [ -z "$RECORD_REL" ]; then
+  BEST=$(python - <<'PYEOF'
 import glob
 from bin_tpu.weights import read_card
 best = None
@@ -69,9 +74,11 @@ for p in sorted(glob.glob("weights/*.npz")):
 print(best[0] if best else "")
 PYEOF
 )
-  [ -n "$REL" ] || { echo "no card-carrying release found" >&2; exit 1; }
+  [ -n "$BEST" ] || { echo "no card-carrying release found" >&2; exit 1; }
+  [ -n "$REL" ] || REL="$BEST"
+  [ -n "$RECORD_REL" ] || RECORD_REL="$BEST"
 fi
-_qlog "$NAME: arm={${OVERRIDES[*]:-}} record=$REL eval=$DO_EVAL promote=$PROMOTE"
+_qlog "$NAME: arm={${OVERRIDES[*]:-}} eval_weights=$REL record=$RECORD_REL eval=$DO_EVAL promote=$PROMOTE"
 
 # --- 1. quality eval: the bench's effective serving mode + the arm --------
 if [ "$DO_EVAL" = 1 ]; then
@@ -105,7 +112,7 @@ run_step bench_control 2400 "$WD/bench_control.json" \
   python bench.py
 
 # --- 4. verdict vs the card, optional gated promotion ----------------------
-python - "$NAME" "$REL" "$DO_EVAL" "$PROMOTE" "${OVERRIDES[@]:-}" <<'PYEOF' >> "$QUEUE_LOG" 2>&1
+python - "$NAME" "$RECORD_REL" "$DO_EVAL" "$PROMOTE" "${OVERRIDES[@]:-}" <<'PYEOF' >> "$QUEUE_LOG" 2>&1
 import json, sys
 name, rel, do_eval, promote = sys.argv[1:5]
 overrides = [s for s in sys.argv[5:] if s]
