@@ -115,6 +115,15 @@ class ModelConfig:
                                    # bit-exact outputs (tests/test_models.py
                                    # test_d2s_via_conv_model_flag_exact);
                                    # false = the reshape form (A/B).
+    d2s_final_via_conv: str = "follow"  # the FINAL full-clip unpack
+                                   # (assemble_clip / Model.unpack) in the
+                                   # same one-hot conv form: "follow" =
+                                   # match d2s_via_conv, "true"/"false" =
+                                   # pin independently for an A/B.
+                                   # Round-5 trace: the reshape-form final
+                                   # unpack is the top non-conv pool
+                                   # (copy.382+copy.381, 2.27 ms/window at
+                                   # 18-21 GB/s — runs/trace_r5_default.txt).
     s2d_pallas: bool = False       # pack via the Pallas VMEM relayout
                                    # kernel (ops/pallas/s2d_pack.py): one
                                    # HBM read + one write per block, the
@@ -332,6 +341,27 @@ def apply_overrides(cfg: Config, overrides: dict[str, Any] | list[str]) -> Confi
     for path, value in overrides.items():
         cfg = _override(cfg, path, value)
     return cfg
+
+
+def apply_model_overrides(model_cfg: ModelConfig,
+                          overrides: list[str]) -> ModelConfig:
+    """Apply ``--set`` strings to a bare :class:`ModelConfig`.
+
+    Serving entry points load a released card's stored model config
+    (``bin_tpu.weights.load_weights``), which records the TRAINING-time
+    configuration — deployment knobs like ``model.conv_int8`` or
+    ``model.dtype`` must be layered on top, not baked into the card.
+    Accepts both ``model.conv_int8=true`` (the spelling every other CLI
+    uses) and bare ``conv_int8=true``.
+    """
+    for s in overrides:
+        if "=" not in s:
+            raise ValueError(f"overrides must be KEY=VALUE, got {s!r}")
+        path, value = s.split("=", 1)
+        if path.startswith("model."):
+            path = path[len("model."):]
+        model_cfg = _override(model_cfg, path, value)
+    return model_cfg
 
 
 # ---------------------------------------------------------------------------

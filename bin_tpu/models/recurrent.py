@@ -150,22 +150,34 @@ def covered_times(num_keys: int, window_size: int, levels: int) -> list[int]:
 
 
 def assemble_clip(stacked_outputs: list[jax.Array], num_keys: int,
-                  window_size: int, stem_factor: int = 1
-                  ) -> tuple[jax.Array, np.ndarray]:
+                  window_size: int, stem_factor: int = 1,
+                  via_conv: bool = False) -> tuple[jax.Array, np.ndarray]:
     """Assemble the 2x-rate sharp video from scanned pyramid outputs.
 
     stacked_outputs: per level, PACKED (S, B, P_l, h, w, 3f^2) as from
     scan_windows.  The single depth-to-space back to full resolution (and
     the cast to fp32) happens here, on the assembled video only.
 
+    via_conv: unpack with the one-hot transposed conv instead of the
+    reshape/moveaxis form (bit-exact — the round-5 trace pinned the
+    reshape form's transpose as the single largest non-conv op pool,
+    copy.382+copy.381 at 18-21 GB/s).  The conv runs in the compute dtype
+    and the fp32 cast follows: a permutation commutes bit-exactly with
+    the pointwise convert, and the half-width bf16 tensor halves the
+    bytes the layout move touches.
+
     Returns (video, times): video (B, T_cov, H, W, 3) fp32 and the global
     output timestamps (ascending) each frame corresponds to.
     """
-    from bin_tpu.ops.pixel_shuffle import depth_to_space
+    from bin_tpu.ops.pixel_shuffle import depth_to_space, depth_to_space_conv
 
     levels = len(stacked_outputs)
     plan = assembly_plan(num_keys, window_size, levels)
     times = sorted(plan)
     frames = [stacked_outputs[plan[t][0]][plan[t][1], :, plan[t][2]] for t in times]
-    video = jnp.stack(frames, axis=1).astype(jnp.float32)
-    return depth_to_space(video, stem_factor), np.asarray(times)
+    video = jnp.stack(frames, axis=1)
+    if via_conv:
+        video = depth_to_space_conv(video, stem_factor).astype(jnp.float32)
+    else:
+        video = depth_to_space(video.astype(jnp.float32), stem_factor)
+    return video, np.asarray(times)

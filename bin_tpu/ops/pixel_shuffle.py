@@ -33,6 +33,21 @@ def input_pack_fn(model_cfg):
     return space_to_depth
 
 
+def final_unpack_via_conv(model_cfg) -> bool:
+    """Whether the FINAL full-resolution unpack (assemble_clip /
+    Model.unpack) should use the one-hot conv form.  Tri-state config
+    (model.d2s_final_via_conv): "follow" inherits d2s_via_conv — the same
+    layout argument applies at the tail — while "true"/"false" pin it for
+    an independent A/B (the tail's Cout=3 conv is a different beast from
+    the decoder's 128-channel ones, so it gets its own measurement)."""
+    mode = str(getattr(model_cfg, "d2s_final_via_conv", "follow")).lower()
+    if mode in ("true", "1", "yes"):
+        return True
+    if mode in ("false", "0", "no"):
+        return False
+    return bool(getattr(model_cfg, "d2s_via_conv", False))
+
+
 def space_to_depth(x: jax.Array, factor: int) -> jax.Array:
     """(..., H, W, C) → (..., H/f, W/f, C*f*f).  Block layout: output channel
     index = (dy * f + dx) * C + c (pixel-major, channel-minor)."""

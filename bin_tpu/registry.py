@@ -72,7 +72,15 @@ class Model:
 
     def unpack(self, frames: jax.Array) -> jax.Array:
         """Packed (…, h, w, 3f^2) model outputs → fp32 (…, H, W, 3)."""
-        from bin_tpu.ops.pixel_shuffle import depth_to_space
+        from bin_tpu.ops.pixel_shuffle import (depth_to_space,
+                                               depth_to_space_conv,
+                                               final_unpack_via_conv)
+        if final_unpack_via_conv(self.cfg):
+            # conv in the native dtype, convert after: the permutation
+            # commutes bit-exactly with the pointwise cast and the layout
+            # move touches half the bytes (see assemble_clip)
+            return depth_to_space_conv(
+                frames, self.cfg.stem_factor).astype(jnp.float32)
         return depth_to_space(frames.astype(jnp.float32), self.cfg.stem_factor)
 
     def _apply_fn(self, params, window, states):
@@ -102,10 +110,12 @@ class Model:
         Returns (video, times): (B, T_cov, H, W, 3) fp32 assembled sharp
         output and the global 2x-grid timestamps covered (numpy, static).
         """
+        from bin_tpu.ops.pixel_shuffle import final_unpack_via_conv
         outputs, _ = self.forward_clip(params, blurry)
         return recurrent.assemble_clip(outputs, blurry.shape[1],
                                        self.cfg.window_size,
-                                       self.cfg.stem_factor)
+                                       self.cfg.stem_factor,
+                                       via_conv=final_unpack_via_conv(self.cfg))
 
     def loss_clip(self, params: Any, blurry: jax.Array, sharp: jax.Array,
                   loss_cfg: LossConfig, perceptual_fn: Any = None):

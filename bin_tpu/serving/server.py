@@ -296,14 +296,24 @@ def serve_main(argv: list[str] | None = None) -> None:
                         "(single-stream latency lever; needs N devices)")
     p.add_argument("--platform", default=None, metavar="BACKEND",
                    help="force the JAX backend in-process (e.g. cpu)")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="model.KEY=VALUE",
+                   help="deployment override on top of the card's stored "
+                        "model config (the card records the TRAINING "
+                        "config; serving knobs like model.conv_int8=true "
+                        "or model.dtype=bfloat16 belong here). Repeatable.")
     args = p.parse_args(argv)
 
     from bin_tpu.cli import _apply_platform
     _apply_platform(args.platform)
+    from bin_tpu.config import apply_model_overrides
     from bin_tpu.registry import build_model
     from bin_tpu.weights import load_weights
 
     params, model_cfg, meta = load_weights(args.weights)
+    if args.overrides:
+        model_cfg = apply_model_overrides(model_cfg, args.overrides)
+        print(f"bin-tpu-serve: deployment overrides {args.overrides}")
     model = build_model(model_cfg)
     # front the tunnel's first-bulk-D2H cliff at boot, not on the first
     # client's frames (measured 208 s once per process on the axon tunnel;

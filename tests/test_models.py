@@ -284,3 +284,32 @@ def test_assemble_clip_shapes():
     video, times = model.infer_clip(params, blurry)
     assert video.shape == (1, len(times), 32, 32, 3)
     assert times.tolist() == list(range(1, 10))
+
+
+def test_d2s_final_via_conv_exact():
+    """model.d2s_final_via_conv (the FINAL assemble/unpack in one-hot conv
+    form — the round-5 attack on the copy.382/copy.381 output-assembly
+    pool) is a pure layout A/B: infer_clip and Model.unpack are bit-exact
+    across the tri-state, and "follow" tracks d2s_via_conv."""
+    from bin_tpu.ops.pixel_shuffle import final_unpack_via_conv
+
+    base = dataclasses.replace(SMALL, stem_factor=2, dtype="bfloat16")
+    assert final_unpack_via_conv(base) == base.d2s_via_conv
+    assert final_unpack_via_conv(
+        dataclasses.replace(base, d2s_final_via_conv="true"))
+    assert not final_unpack_via_conv(
+        dataclasses.replace(base, d2s_final_via_conv="false"))
+
+    clip = _rand(1, 5, 32, 32, 3, seed=11)
+    model_a = build_model(dataclasses.replace(base, d2s_final_via_conv="false"))
+    params = model_a.init(jax.random.key(0), batch=1, height=32, width=32)
+    vid_a, times_a = model_a.infer_clip(params, clip)
+    model_b = build_model(dataclasses.replace(base, d2s_final_via_conv="true"))
+    vid_b, times_b = model_b.infer_clip(params, clip)
+    assert vid_a.dtype == vid_b.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(times_a), np.asarray(times_b))
+    np.testing.assert_array_equal(np.asarray(vid_a), np.asarray(vid_b))
+
+    packed = _rand(2, 3, 8, 8, 12, seed=12).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(model_a.unpack(packed)),
+                                  np.asarray(model_b.unpack(packed)))

@@ -230,3 +230,22 @@ def test_spatial_sharded_server_matches_plain():
     assert sorted(a) == sorted(b)
     for t in a:
         np.testing.assert_array_equal(a[t], b[t])
+
+
+def test_apply_model_overrides_deployment_knobs():
+    # Serving entry points layer deployment knobs (--set) over the card's
+    # stored TRAINING config (bin-tpu-serve / tools/bench_serving_http.py);
+    # both the "model."-prefixed spelling and the bare field name apply.
+    from bin_tpu.config import ModelConfig, apply_model_overrides
+
+    mc = ModelConfig(dtype="float32", conv_int8=False)
+    out = apply_model_overrides(
+        mc, ["model.dtype=bfloat16", "model.conv_int8=true",
+             "conv_int8_min_cin=256"])
+    assert (out.dtype, out.conv_int8, out.conv_int8_min_cin) == \
+        ("bfloat16", True, 256)
+    assert (mc.dtype, mc.conv_int8) == ("float32", False)  # input untouched
+    with pytest.raises(ValueError):
+        apply_model_overrides(mc, ["model.dtype"])
+    with pytest.raises(KeyError):
+        apply_model_overrides(mc, ["model.no_such_field=1"])

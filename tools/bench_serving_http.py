@@ -54,10 +54,25 @@ def main() -> None:
     from bin_tpu.serving.server import FrameServer, make_http_server
 
     if args.weights:
+        from bin_tpu.benchmark import load_auto_overrides
+        from bin_tpu.config import apply_model_overrides
         from bin_tpu.weights import load_weights
         params, model_cfg, _meta = load_weights(args.weights)
+        # The card stores the TRAINING config (fp32, no int8). Measure the
+        # DEPLOYMENT graph instead: the same serving mode bench.py runs
+        # (scoped int8 PTQ + measurement-gated auto-overrides), with user
+        # --set entries last so any knob can still be pinned for an A/B.
+        # Round-5 lesson: without this, the serving re-record silently
+        # measured the fp32 training graph off the card.
+        serving_mode = ["model.dtype=bfloat16", "model.conv_int8=true",
+                        "model.conv_int8_min_cin=256"]
+        auto, auto_note = load_auto_overrides()
+        serving_mode += auto + args.overrides
+        model_cfg = apply_model_overrides(model_cfg, serving_mode)
         model = build_model(model_cfg)
         print(f"weights: {args.weights}")
+        print(f"serving mode: {serving_mode}"
+              + (f" (auto: {auto_note})" if auto_note else ""))
     else:
         from bin_tpu.config import get_config
         cfg = get_config(args.preset, args.overrides)
@@ -78,6 +93,26 @@ def main() -> None:
     from bin_tpu.utils.device_warmup import warm_d2h
     dt = warm_d2h()
     print(f"d2h warmup: {dt:.2f}s (excluded from both arms)")
+
+    # Pre-compile EVERY stream program before either timed arm: the push
+    # program compiles on key 0, but the emission programs compile at the
+    # pipeline depths where they first fire (keys 4-5 for the flagship) —
+    # round-5 found them as ~35 s mid-stream stalls INSIDE the steady-state
+    # window that --warmup-keys could not exclude.  One throwaway session
+    # through push/poll/flush/drain populates the in-process compile cache
+    # for both arms (HTTP server threads share this process).
+    from bin_tpu.evaluation.streaming import StreamingSession
+    t0 = time.monotonic()
+    wsess = StreamingSession(model, params, batch=1, height=h, width=w,
+                             emit_u8=True, async_drain=True)
+    for i in range(min(args.keys, 8)):
+        wsess.push(frames[i][None])
+        wsess.poll()
+    wsess.flush()
+    wsess.drain()
+    del wsess
+    print(f"program warmup: {time.monotonic() - t0:.2f}s "
+          "(all stream programs compiled before the timed arms)")
 
     server = FrameServer(model, params, max_streams=args.streams)
     httpd = make_http_server(server, "127.0.0.1", 0)
