@@ -439,7 +439,7 @@ def _run(args):
         try:
             math_cfg = get_config("config5_v5e_streaming", overrides + [
                 "model.d2s_via_conv=false", "model.s2d_via_conv=false",
-                "model.s2d_pallas=false"])
+                "model.d2s_final_via_conv=false"])
             model_window_flops = window_flops_of(build_model(math_cfg))
         except Exception as e:
             log(f"reshape-form lowering failed ({e}); falling back to "

@@ -60,10 +60,6 @@ class ModelConfig:
                                    # a trained checkpoint with this on, then
                                    # serve with conv_int8=true at the same
                                    # scope (ops/quant.py:fake_quant_conv).
-    conv_int8_mse_clip: bool = False  # PTQ weight scales by per-channel
-                                   # MSE-optimal clip search instead of
-                                   # abs-max (ops/quant.py) — compile-time
-                                   # cost only, no checkpoint change.
     conv_int8_lstm: bool = False   # extend int8 PTQ to the ConvLSTM gate
                                    # conv (k3x3, Cin=Cfeat+F, Cout=4F) —
                                    # ~3.4 ms of bf16 the backbone scoping
@@ -124,18 +120,23 @@ class ModelConfig:
                                    # unpack is the top non-conv pool
                                    # (copy.382+copy.381, 2.27 ms/window at
                                    # 18-21 GB/s — runs/trace_r5_default.txt).
-    s2d_pallas: bool = False       # pack via the Pallas VMEM relayout
-                                   # kernel (ops/pallas/s2d_pack.py): one
-                                   # HBM read + one write per block, the
-                                   # row interleave done by VPU shuffles —
-                                   # the "hand-written kernel per handoff"
-                                   # the round-3 non-conv analysis named as
-                                   # the only remaining lever. A/B surface;
-                                   # bit-exact.
-    use_pallas_lstm: bool = False  # fused Pallas kernel for the ConvLSTM gate
-                                   # math (ops/pallas/lstm_gates.py) instead
-                                   # of XLA's fusion — benchable A/B surface
-                                   # (tools/bench_pallas_lstm.py)
+    # -- flag graveyard (VERDICT r4 task 7): measured-negative A/B surfaces
+    # removed after their negatives were CONFIRMED on the shipping
+    # (post-d2s-conv) graph; numbers live in BASELINE.md. The kernels stay
+    # in ops/pallas/ with direct unit tests as the recorded engineering.
+    #   s2d_pallas       — Mosaic cannot compile the VMEM relayout kernel on
+    #                      this backend (round 4, runs/bench_r4_s2dpallas
+    #                      .json.failed); kernel: ops/pallas/s2d_pack.py
+    #   use_pallas_lstm  — fused Pallas ConvLSTM gate math: −38% pre-d2s,
+    #                      −80% on the new graph (runs/r5_pallas_lstm/) —
+    #                      it breaks XLA's conv fusion around the gates;
+    #                      kernel: ops/pallas/lstm_gates.py
+    #   conv_int8_mse_clip — MSE-optimal PTQ weight-scale clip search:
+    #                      ~no quality change AND −6.3% fps on the new
+    #                      graph (runs/r5_mseclip/VERDICT.json); the
+    #                      kernel-level search stays in ops/quant.py
+    #                      (quantize_symmetric(mse_clip=True)) with its
+    #                      never-worse-than-absmax property test
     cycle_level: bool = True       # extra top level that re-predicts the centre
                                    # frame for the cycle-consistency loss
     clamp_intermediate: bool = True  # clip frames passed between pyramid

@@ -105,8 +105,7 @@ class StreamingSession:
         # a non-default pack impl (A/B flags) must be what serving actually
         # measures — the uint8 fast path below would otherwise silently
         # bypass it (ADVICE r4)
-        custom_pack = bool(getattr(model.cfg, "s2d_via_conv", False)
-                           or getattr(model.cfg, "s2d_pallas", False))
+        custom_pack = bool(getattr(model.cfg, "s2d_via_conv", False))
 
         def ingest(frame: jax.Array) -> jax.Array:
             # uint8 frames (what a video decoder actually produces) are

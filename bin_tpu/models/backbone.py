@@ -53,8 +53,6 @@ class Backbone(nn.Module):
                                    # same conv set: fine-tune to absorb the
                                    # int8 deployment error (overrides
                                    # conv_int8's op choice, same scoping)
-    conv_int8_mse_clip: bool = False  # PTQ weight scales via MSE-optimal
-                                   # clip search (ops/quant.py), not abs-max
     conv_int8_calibrate: bool = False  # record per-conv input abs-max into
                                    # the mutable quant_stats collection
                                    # (tools/calibrate_int8.py pass)
@@ -86,9 +84,7 @@ class Backbone(nn.Module):
         x = jnp.concatenate([frame_a, frame_b], axis=-1).astype(self.dtype)
 
         q = ("calib" if self.conv_int8_calibrate else
-             "qat" if self.conv_int8_qat else
-             ("mse" if self.conv_int8 and self.conv_int8_mse_clip
-              else self.conv_int8))
+             "qat" if self.conv_int8_qat else self.conv_int8)
         qmc = self.conv_int8_min_cin
         qsc = self.conv_int8_scales
         x = ConvBlock(chans[0], self.slope, dtype=self.dtype,

@@ -52,7 +52,6 @@ class ConvLSTMCell(nn.Module):
     forget_bias: float = 1.0
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
-    use_pallas: bool = False  # fuse gate math with the Pallas kernel
     quant: Any = False  # int8 PTQ on the gate conv (model.conv_int8_lstm):
     #                      the k(3,3,768,1024) gate conv is ~3.4 ms of bf16
     #                      left on the table by the backbone-only int8
@@ -102,9 +101,8 @@ class ConvLSTMCell(nn.Module):
                             padding="SAME", kernel_init=_KERNEL_INIT,
                             dtype=self.dtype,
                             param_dtype=self.param_dtype, name="gates")(inp)
-        if self.use_pallas:
-            from bin_tpu.ops.pallas.lstm_gates import fused_lstm_gates
-            new_h, new_c = fused_lstm_gates(gates, c, self.forget_bias)
-        else:
-            new_h, new_c = lstm_gate_math(gates, c, self.forget_bias)
+        # gate math via XLA's fusion; the fused Pallas kernel alternative
+        # (ops/pallas/lstm_gates.py) measured −38% pre-d2s and −80% on the
+        # shipping graph — see the ModelConfig flag graveyard
+        new_h, new_c = lstm_gate_math(gates, c, self.forget_bias)
         return new_h, new_c

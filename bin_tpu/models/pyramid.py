@@ -90,7 +90,6 @@ class BINPyramid(nn.Module):
                      conv_int8=c.conv_int8,
                      conv_int8_min_cin=c.conv_int8_min_cin,
                      conv_int8_qat=c.conv_int8_qat,
-                     conv_int8_mse_clip=c.conv_int8_mse_clip,
                      conv_int8_calibrate=c.conv_int8_calibrate,
                      conv_int8_scales=scales,
                      upsample_d2s_conv=c.d2s_via_conv,
@@ -101,7 +100,6 @@ class BINPyramid(nn.Module):
             self.lstms = [
                 ConvLSTMCell(features=c.convlstm_features, dtype=dtype,
                              param_dtype=pdtype,
-                             use_pallas=c.use_pallas_lstm,
                              quant=("calib" if c.conv_int8_calibrate else
                                     bool(c.conv_int8 and c.conv_int8_lstm)),
                              quant_scales=(scales if c.conv_int8_lstm

@@ -19,12 +19,11 @@ permute in VMEM, write (T, Wo*f*f*C) once — data moves through the VPU
 shuffle network instead of strided HBM copies. Bit-exact: a pure
 permutation, no arithmetic at any dtype.
 
-A/B surface: ``model.s2d_pallas`` (same pattern as ``s2d_via_conv``,
-which lost 3.4% — XLA re-introduced layout copies around the one-hot
-conv; and ``use_pallas_lstm``, which lost 38% by breaking conv fusion.
-This kernel replaces a standalone copy rather than splitting a fusion,
-so the prior failure modes don't apply a priori — measured on-chip
-either way).
+Verdict (round 4, BASELINE.md): Mosaic cannot compile this kernel on the
+target backend (runs/bench_r4_s2dpallas.json.failed), so the config
+surface (``model.s2d_pallas``) was removed with the round-5 flag
+graveyard — the kernel stays as the recorded engineering with its
+interpret-mode unit tests (bit-exactness, custom-VJP gradients).
 """
 
 from __future__ import annotations

@@ -20,14 +20,13 @@ __all__ = ["space_to_depth", "depth_to_space", "space_to_depth_conv",
 
 
 def input_pack_fn(model_cfg):
-    """The configured space-to-depth implementation (A/B surfaces):
-    reshape/transpose (default, XLA), one-hot strided conv
-    (``s2d_via_conv`` — measured -3.4%, kept as the recorded negative),
-    or the Pallas VMEM relayout kernel (``s2d_pallas`` — targets the
-    ~20 GB/s layout copies, ops/pallas/s2d_pack.py). All bit-exact."""
-    if getattr(model_cfg, "s2d_pallas", False):
-        from bin_tpu.ops.pallas.s2d_pack import space_to_depth_pallas
-        return space_to_depth_pallas
+    """The configured space-to-depth implementation (A/B surface):
+    reshape/transpose (default, XLA) or one-hot strided conv
+    (``s2d_via_conv`` — re-measured on the post-d2s graph at +0.77%,
+    under the 1% promotion gate, runs/r5_s2dconv/). Bit-exact both ways.
+    The third impl (Pallas VMEM relayout, ops/pallas/s2d_pack.py) lost its
+    config surface when Mosaic proved unable to compile it on this
+    backend — see the ModelConfig flag graveyard."""
     if getattr(model_cfg, "s2d_via_conv", False):
         return space_to_depth_conv
     return space_to_depth

@@ -49,44 +49,3 @@ def test_fused_gates_custom_vjp_matches_autodiff():
     np.testing.assert_allclose(np.asarray(gg_k), np.asarray(gg_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(gc_k), np.asarray(gc_r), atol=1e-5)
 
-
-def test_convlstm_cell_pallas_flag():
-    """ConvLSTMCell(use_pallas=True) must agree with the default path."""
-    from bin_tpu.models.convlstm import ConvLSTMCell, init_state
-    x = jnp.asarray(np.random.default_rng(3).uniform(
-        0, 1, (1, 8, 8, 16)).astype(np.float32))
-    state = init_state(1, 8, 8, 8)
-    ref_cell = ConvLSTMCell(features=8, use_pallas=False)
-    params = ref_cell.init(jax.random.key(0), x, state)
-    h_ref, c_ref = ref_cell.apply(params, x, state)
-    pal_cell = ConvLSTMCell(features=8, use_pallas=True)
-    h_p, c_p = pal_cell.apply(params, x, state)
-    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_ref), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref), atol=1e-6)
-
-
-def test_pyramid_pallas_config_plumbing():
-    """model.use_pallas_lstm reaches the ConvLSTM cells and preserves the
-    forward result (interpret-mode kernel on CPU)."""
-    import dataclasses
-
-    import jax
-    import numpy as np
-
-    from bin_tpu.config import get_config
-    from bin_tpu.registry import build_model
-
-    cfg = get_config("config3_prf")
-    tiny = dataclasses.replace(
-        cfg.model, base_features=8, num_res_blocks=1, convlstm_features=16)
-    outs = {}
-    for flag in (False, True):
-        c = dataclasses.replace(
-            cfg, model=dataclasses.replace(tiny, use_pallas_lstm=flag))
-        model = build_model(c)
-        params = model.init(jax.random.key(0), batch=1, height=32, width=32)
-        x = np.random.default_rng(0).uniform(
-            0, 1, (1, 6, 32, 32, 3)).astype(np.float32)
-        video, _ = jax.jit(model.infer_clip)(params, x)
-        outs[flag] = np.asarray(video)
-    np.testing.assert_allclose(outs[False], outs[True], atol=2e-6)

@@ -230,39 +230,6 @@ def test_mse_clip_never_worse_than_absmax():
     assert mse(True) < mse(False)  # strict with the planted outlier
 
 
-def test_conv_int8_mse_clip_forward_close_and_flag_wired():
-    """model.conv_int8_mse_clip changes only the weight scales: forward
-    stays close to float, and the flag demonstrably reaches the quantizer
-    (the 21-candidate scale search appears in the traced jaxpr before
-    constant folding)."""
-    cfg = get_config("config1_backbone_128",
-                     ["model.base_features=8", "model.num_res_blocks=1",
-                      "model.use_convlstm=false"])
-    f = build_model(cfg)
-    x = jnp.asarray(np.random.default_rng(3).uniform(
-        0, 1, (1, 4, 32, 32, 3)).astype(np.float32))
-    params = f.init(jax.random.key(0), batch=1, height=32, width=32)
-
-    def model_for(**mods):
-        return build_model(dataclasses.replace(cfg.model, **mods))
-
-    def run(m):
-        outs, _ = m.apply_window(params, x, m.initial_state(1, 32, 32))
-        return np.asarray(outs[-1], np.float32)
-
-    ref = run(model_for())
-    m_q = model_for(conv_int8=True)
-    m_qm = model_for(conv_int8=True, conv_int8_mse_clip=True)
-    assert np.max(np.abs(run(m_qm) - ref)) < 0.1
-    # wiring: the scale search adds ops to the traced program
-    def jaxpr_len(m):
-        jx = jax.make_jaxpr(
-            lambda p, a: m.apply_window(p, a, m.initial_state(1, 32, 32)))(
-                params, x)
-        return len(jx.jaxpr.eqns)
-    assert jaxpr_len(m_qm) > jaxpr_len(m_q)
-
-
 def test_conv_int8_lstm_scopes_gate_conv():
     """model.conv_int8_lstm: same checkpoint, quantized gate conv only —
     param tree identical, flag off is bit-identical, cell-level output

@@ -64,29 +64,10 @@ def test_gradient_is_inverse_permutation():
 
 def test_input_pack_fn_dispatch():
     from bin_tpu.config import get_config
+    from bin_tpu.ops.pixel_shuffle import space_to_depth_conv
 
     cfg = get_config("config3_prf").model
     assert input_pack_fn(cfg) is space_to_depth
-    cfg2 = get_config("config3_prf", ["model.s2d_pallas=true"]).model
-    assert input_pack_fn(cfg2) is space_to_depth_pallas
+    cfg2 = get_config("config3_prf", ["model.s2d_via_conv=true"]).model
+    assert input_pack_fn(cfg2) is space_to_depth_conv
 
-
-def test_model_forward_matches_with_pallas_pack():
-    """End-to-end: the flagship forward with s2d_pallas=true must produce
-    the IDENTICAL video (pure permutation feeding the same convs)."""
-    from bin_tpu.config import get_config
-    from bin_tpu.registry import build_model
-
-    overrides = ["model.base_features=8", "model.convlstm_features=8",
-                 "model.num_res_blocks=1"]
-    cfg = get_config("config3_prf", overrides)
-    cfg2 = get_config("config3_prf", overrides + ["model.s2d_pallas=true"])
-    model, model2 = build_model(cfg), build_model(cfg2)
-    params = model.init(jax.random.key(0), batch=1, height=16, width=16)
-
-    rng = np.random.default_rng(3)
-    blurry = jnp.asarray(rng.uniform(0, 1, (1, 6, 16, 16, 3)), jnp.float32)
-    video, times = model.infer_clip(params, blurry)
-    video2, times2 = model2.infer_clip(params, blurry)
-    assert (np.asarray(times) == np.asarray(times2)).all()
-    assert (np.asarray(video) == np.asarray(video2)).all()

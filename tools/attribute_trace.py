@@ -248,6 +248,11 @@ def main():
     p.add_argument("--int8-lstm", action="store_true",
                    help="model.conv_int8_lstm=true (part of the bench "
                         "default mode since runs/BENCH_OVERRIDES.json)")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="model.KEY=VALUE",
+                   help="extra model-config override applied after the "
+                        "dedicated flags (e.g. model.d2s_final_via_conv="
+                        "false). Repeatable.")
     p.add_argument("--dump-hlo", default=None, metavar="PATH",
                    help="also write the optimized scheduled HLO text to "
                         "PATH and exit WITHOUT running on the device — the "
@@ -260,7 +265,7 @@ def main():
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from bin_tpu.config import ModelConfig
+    from bin_tpu.config import ModelConfig, apply_model_overrides
     from bin_tpu.registry import build_model
     from bin_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -272,6 +277,7 @@ def main():
                       conv_int8=args.int8,
                       conv_int8_min_cin=args.int8_min_cin,
                       conv_int8_lstm=args.int8_lstm)
+    cfg = apply_model_overrides(cfg, args.overrides)
     model = build_model(cfg)
     params = model.init(jax.random.key(0), batch=1, height=64, width=64)
     rng = np.random.default_rng(0)
