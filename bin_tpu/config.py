@@ -111,15 +111,19 @@ class ModelConfig:
                                    # bit-exact outputs (tests/test_models.py
                                    # test_d2s_via_conv_model_flag_exact);
                                    # false = the reshape form (A/B).
-    d2s_final_via_conv: str = "follow"  # the FINAL full-clip unpack
+    d2s_final_via_conv: str = "false"  # the FINAL full-clip unpack
                                    # (assemble_clip / Model.unpack) in the
                                    # same one-hot conv form: "follow" =
                                    # match d2s_via_conv, "true"/"false" =
                                    # pin independently for an A/B.
-                                   # Round-5 trace: the reshape-form final
-                                   # unpack is the top non-conv pool
-                                   # (copy.382+copy.381, 2.27 ms/window at
-                                   # 18-21 GB/s — runs/trace_r5_default.txt).
+                                   # Round-5 chip A/B (runs/r5_final_unpack/
+                                   # VERDICT.json): conv form 41.65 fps vs
+                                   # reshape 41.82 — within noise, under the
+                                   # 1% promotion gate, so the DEFAULT stays
+                                   # the reshape form (which also keeps the
+                                   # shipping graph free of the one-hot
+                                   # helper-conv phantom MACs).  Bit-exact
+                                   # both ways.
     # -- flag graveyard (VERDICT r4 task 7): measured-negative A/B surfaces
     # removed after their negatives were CONFIRMED on the shipping
     # (post-d2s-conv) graph; numbers live in BASELINE.md. The kernels stay

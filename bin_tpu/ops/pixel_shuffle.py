@@ -38,7 +38,12 @@ def final_unpack_via_conv(model_cfg) -> bool:
     (model.d2s_final_via_conv): "follow" inherits d2s_via_conv — the same
     layout argument applies at the tail — while "true"/"false" pin it for
     an independent A/B (the tail's Cout=3 conv is a different beast from
-    the decoder's 128-channel ones, so it gets its own measurement)."""
+    the decoder's 128-channel ones, so it gets its own measurement).
+    Round-5 chip A/B (runs/r5_final_unpack/VERDICT.json): conv form
+    41.65 fps vs reshape 41.82 — within noise, so the shipped default is
+    "false" (reshape); the tail unpack is outside the windowed hot loop
+    and its layout never feeds another conv, so the decoder argument
+    doesn't transfer."""
     mode = str(getattr(model_cfg, "d2s_final_via_conv", "follow")).lower()
     if mode in ("true", "1", "yes"):
         return True

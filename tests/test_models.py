@@ -290,11 +290,16 @@ def test_d2s_final_via_conv_exact():
     """model.d2s_final_via_conv (the FINAL assemble/unpack in one-hot conv
     form — the round-5 attack on the copy.382/copy.381 output-assembly
     pool) is a pure layout A/B: infer_clip and Model.unpack are bit-exact
-    across the tri-state, and "follow" tracks d2s_via_conv."""
+    across the tri-state, and "follow" tracks d2s_via_conv.  The chip A/B
+    (runs/r5_final_unpack/VERDICT.json) read within noise, so the shipped
+    default is the reshape form ("false")."""
     from bin_tpu.ops.pixel_shuffle import final_unpack_via_conv
 
     base = dataclasses.replace(SMALL, stem_factor=2, dtype="bfloat16")
-    assert final_unpack_via_conv(base) == base.d2s_via_conv
+    assert not final_unpack_via_conv(base)  # shipped default: reshape form
+    assert (final_unpack_via_conv(
+        dataclasses.replace(base, d2s_final_via_conv="follow"))
+        == base.d2s_via_conv)
     assert final_unpack_via_conv(
         dataclasses.replace(base, d2s_final_via_conv="true"))
     assert not final_unpack_via_conv(
