@@ -17,6 +17,13 @@ Prints one JSON line:
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+# tools/ scripts must run without the editable install (a VM reset wipes
+# site-packages): put the repo root ahead of sys.path[0]=tools/.
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import threading

@@ -3,6 +3,13 @@
 see bench.py for why host timing needs the chained-scan slope on this
 environment's PJRT tunnel)."""
 
+import os as _os
+import sys as _sys
+
+# tools/ scripts must run without the editable install (a VM reset wipes
+# site-packages): put the repo root ahead of sys.path[0]=tools/.
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import time
 

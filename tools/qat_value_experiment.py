@@ -12,6 +12,13 @@ import dataclasses
 import jax
 jax.config.update("jax_platforms", "cpu")
 import numpy as np, jax.numpy as jnp
+import os
+import sys
+
+# tools/ scripts must run without the editable install (a VM reset wipes
+# site-packages): put the repo root ahead of sys.path[0]=tools/.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from bin_tpu.config import get_config
 from bin_tpu.registry import build_model
 from bin_tpu.training.state import create_train_state

@@ -18,6 +18,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+import sys
+
+# tools/ scripts must run without the editable install (a VM reset wipes
+# site-packages): put the repo root ahead of sys.path[0]=tools/.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from bin_tpu.config import get_config
 from bin_tpu.data.pipeline import SyntheticSource, eval_clips
 from bin_tpu.evaluation.evaluator import clip_metrics_fn, evaluate

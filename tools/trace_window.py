@@ -6,6 +6,13 @@ on the 'XLA Ops' thread), then aggregates durations by fused-op name.
 Usage: python tools/trace_window.py [--clip] [--stem N] [--base N]
 """
 
+import os as _os
+import sys as _sys
+
+# tools/ scripts must run without the editable install (a VM reset wipes
+# site-packages): put the repo root ahead of sys.path[0]=tools/.
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import glob
 import gzip
