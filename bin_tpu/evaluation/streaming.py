@@ -32,6 +32,140 @@ from bin_tpu.registry import Model
 __all__ = ["StreamingSession"]
 
 
+def _emit_plan(model: Model, first_window: bool) -> list[tuple[int, int, int]]:
+    """(level_idx, pair_idx, local_time) to emit for this window.
+
+    Steady state emits local times {K-2, K-1} — one deblurred key + one
+    midpoint per arriving key (exactly 2x rate), each from the DEEPEST
+    level predicting that parity and from the latest window containing
+    it (max ConvLSTM history; consistent with recurrent.assembly_plan).
+    Consecutive windows advance by 2 on the output grid, so emissions
+    are contiguous and in order; the first full window back-fills times
+    1..K-3.  Latency: 2 key intervals behind the newest input.
+    """
+    k = model.cfg.window_size
+    levels = model.num_levels_total
+    times_by_level = {li: level_output_times(li + 1, k)
+                      for li in range(levels)}
+
+    def deepest(t):
+        for li in range(levels - 1, -1, -1):
+            if t in times_by_level[li]:
+                return (li, times_by_level[li].index(t), t)
+        return None  # e.g. even times in an interp-only 1-level model
+
+    plan = [deepest(t) for t in range(1, k - 2)] if first_window else []
+    plan += [deepest(k - 2), deepest(k - 1)]
+    return [p for p in plan if p is not None]
+
+
+def _build_session_programs(model: Model, emit_u8: bool, async_drain: bool):
+    """Build the session's three jitted programs + emission plans.
+
+    Module-level (not per-session closures) so they can be SHARED across
+    sessions — see _session_programs.  Shapes/shardings are handled by
+    jax.jit's own cache, so the only trace-relevant parameters beyond the
+    model are emit_u8 and async_drain."""
+    import functools
+
+    from bin_tpu.ops.pixel_shuffle import input_pack_fn
+
+    f = model.cfg.stem_factor
+    dt = jnp.dtype(model.cfg.dtype)
+    pack = input_pack_fn(model.cfg)
+    plans = {first: _emit_plan(model, first) for first in (True, False)}
+
+    # a non-default pack impl (A/B flags) must be what serving actually
+    # measures — the uint8 fast path below would otherwise silently
+    # bypass it (ADVICE r4)
+    custom_pack = bool(getattr(model.cfg, "s2d_via_conv", False))
+
+    def ingest(frame: jax.Array) -> jax.Array:
+        # uint8 frames (what a video decoder actually produces) are
+        # normalized ON DEVICE: 4x less host→device traffic per key.
+        # Packed BEFORE normalizing: space_to_depth is a permutation,
+        # so it commutes bit-exactly with the pointwise /255 — and the
+        # layout move on uint8 touches half the bytes of bf16 (and the
+        # normalize fuses into the head conv's input).
+        if frame.dtype == jnp.uint8:
+            if custom_pack:
+                # normalize first (pointwise commutes bit-exactly with
+                # the permutation), then run the CONFIGURED pack on the
+                # compute dtype it supports
+                return pack((frame.astype(jnp.float32) / 255.0)
+                            .astype(dt), f)
+            from bin_tpu.ops.pixel_shuffle import space_to_depth
+            packed = space_to_depth(frame, f)
+            return (packed.astype(jnp.float32) / 255.0).astype(dt)
+        return pack(frame.astype(dt), f)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def _insert(frame, stack):
+        return jnp.concatenate([stack[:, 1:], ingest(frame)[:, None]], 1)
+
+    # The WHOLE per-key path — ingest + window shift + pyramid forward +
+    # emission select — is one jitted program: on a tunneled device every
+    # eager op is a ~0.5 s round trip, so dispatch count per key, not
+    # device FLOPs, dominated the round-1/-2 serving latency
+    # (docs/DESIGN.md §4c).
+    def _finalize(emitted: jax.Array) -> jax.Array:
+        """Packed stacked emissions → delivery format (fp32 or u8).
+
+        u8 mode quantizes IN PACKED DOMAIN and unpacks the uint8
+        tensor: depth_to_space is a pure permutation, so it commutes
+        bit-exactly with the pointwise clip/scale/round — and the
+        full-resolution layout move then touches 1/4 the bytes of the
+        old fp32-unpack-then-quantize order (the unpack transpose runs
+        at copy speed, so bytes moved IS its cost — round-4 HLO
+        audit)."""
+        from bin_tpu.ops.pixel_shuffle import depth_to_space
+
+        if emit_u8:
+            q = jnp.round(
+                jnp.clip(emitted.astype(jnp.float32), 0.0, 1.0) * 255.0
+            ).astype(jnp.uint8)
+            return depth_to_space(q, model.cfg.stem_factor)
+        return model.unpack(emitted)
+
+    @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(2, 3))
+    def _step_emit(params, frame, stack, states, first: bool):
+        stack = jnp.concatenate([stack[:, 1:], ingest(frame)[:, None]], 1)
+        outputs, new_states = model.apply_window(params, stack, states,
+                                                 producer_clamp=True)
+        emitted = jnp.stack(
+            [outputs[li][:, j] for li, j, _ in plans[first]])
+        if async_drain:
+            # finalize in-step: the fetch thread then needs zero extra
+            # dispatches, keeping serving at ONE dispatch per key
+            emitted = _finalize(emitted)
+        return emitted, stack, new_states, outputs
+
+    return _insert, _step_emit, jax.jit(_finalize), plans
+
+
+def _session_programs(model: Model, emit_u8: bool, async_drain: bool):
+    """The jitted session programs, cached ON THE MODEL HANDLE.
+
+    Round-5 serving finding (runs/serving_http_r5b.json): when these were
+    per-session closures, every new StreamingSession created fresh
+    jax.jit entries, so the bench's pre-compile warmup session did NOT
+    warm the server's (or the direct control's) sessions — each fresh
+    session paid ~5-10 s of persistent-cache deserialization at its first
+    push/first emission, mid-stream.  Caching per (model, emit_u8,
+    async_drain) makes every same-config session share one set of
+    programs: the first session compiles, the rest reuse.  The cache
+    lives in the Model handle's __dict__ (frozen dataclass, so via
+    object.__setattr__), tying program lifetime to the model."""
+    key = (bool(emit_u8), bool(async_drain))
+    cache = model.__dict__.get("_stream_programs")
+    if cache is None:
+        cache = {}
+        object.__setattr__(model, "_stream_programs", cache)
+    if key not in cache:
+        cache[key] = _build_session_programs(model, *key)
+    return cache[key]
+
+
 class StreamingSession:
     """Streaming joint deblur + 2x interp with DEVICE-RESIDENT emissions.
 
@@ -74,10 +208,6 @@ class StreamingSession:
         overlaps the previous key's device→host transfer.  Consume with
         ``poll()`` (non-blocking, frames ready so far) and a final
         ``drain()`` (blocks for in-flight).  push() returns []."""
-        import functools
-
-        from bin_tpu.ops.pixel_shuffle import input_pack_fn
-
         self.model = model
         self._plan = plan
         if plan is not None:
@@ -96,82 +226,14 @@ class StreamingSession:
         self.buffer_drain = buffer_drain
         self.emit_u8 = emit_u8
         self.async_drain = async_drain
-        self._plans = {first: self._emit_plan(first) for first in (True, False)}
+        # jitted programs + emission plans are per-MODEL (shared across
+        # sessions), not per-session closures — see _session_programs
+        (self._insert, self._step_emit, self._finalize_jit,
+         self._plans) = _session_programs(model, emit_u8, async_drain)
 
         f = model.cfg.stem_factor
-        dt = jnp.dtype(model.cfg.dtype)
-        pack = input_pack_fn(model.cfg)
-
-        # a non-default pack impl (A/B flags) must be what serving actually
-        # measures — the uint8 fast path below would otherwise silently
-        # bypass it (ADVICE r4)
-        custom_pack = bool(getattr(model.cfg, "s2d_via_conv", False))
-
-        def ingest(frame: jax.Array) -> jax.Array:
-            # uint8 frames (what a video decoder actually produces) are
-            # normalized ON DEVICE: 4x less host→device traffic per key.
-            # Packed BEFORE normalizing: space_to_depth is a permutation,
-            # so it commutes bit-exactly with the pointwise /255 — and the
-            # layout move on uint8 touches half the bytes of bf16 (and the
-            # normalize fuses into the head conv's input).
-            if frame.dtype == jnp.uint8:
-                if custom_pack:
-                    # normalize first (pointwise commutes bit-exactly with
-                    # the permutation), then run the CONFIGURED pack on the
-                    # compute dtype it supports
-                    return pack((frame.astype(jnp.float32) / 255.0)
-                                .astype(dt), f)
-                from bin_tpu.ops.pixel_shuffle import space_to_depth
-                packed = space_to_depth(frame, f)
-                return (packed.astype(jnp.float32) / 255.0).astype(dt)
-            return pack(frame.astype(dt), f)
-
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def _insert(frame, stack):
-            return jnp.concatenate([stack[:, 1:], ingest(frame)[:, None]], 1)
-
-        # The WHOLE per-key path — ingest + window shift + pyramid forward +
-        # emission select — is one jitted program: on a tunneled device every
-        # eager op is a ~0.5 s round trip, so dispatch count per key, not
-        # device FLOPs, dominated the round-1/-2 serving latency
-        # (docs/DESIGN.md §4c).
-        def _finalize(emitted: jax.Array) -> jax.Array:
-            """Packed stacked emissions → delivery format (fp32 or u8).
-
-            u8 mode quantizes IN PACKED DOMAIN and unpacks the uint8
-            tensor: depth_to_space is a pure permutation, so it commutes
-            bit-exactly with the pointwise clip/scale/round — and the
-            full-resolution layout move then touches 1/4 the bytes of the
-            old fp32-unpack-then-quantize order (the unpack transpose runs
-            at copy speed, so bytes moved IS its cost — round-4 HLO
-            audit)."""
-            from bin_tpu.ops.pixel_shuffle import depth_to_space
-
-            if self.emit_u8:
-                q = jnp.round(
-                    jnp.clip(emitted.astype(jnp.float32), 0.0, 1.0) * 255.0
-                ).astype(jnp.uint8)
-                return depth_to_space(q, model.cfg.stem_factor)
-            return model.unpack(emitted)
-
-        @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(2, 3))
-        def _step_emit(params, frame, stack, states, first: bool):
-            stack = jnp.concatenate([stack[:, 1:], ingest(frame)[:, None]], 1)
-            outputs, new_states = model.apply_window(params, stack, states,
-                                                     producer_clamp=True)
-            emitted = jnp.stack(
-                [outputs[li][:, j] for li, j, _ in self._plans[first]])
-            if async_drain:
-                # finalize in-step: the fetch thread then needs zero extra
-                # dispatches, keeping serving at ONE dispatch per key
-                emitted = _finalize(emitted)
-            return emitted, stack, new_states, outputs
-
-        self._insert = _insert
-        self._step_emit = _step_emit
-        self._finalize_jit = jax.jit(_finalize)
         self._stack_shape = (batch, self.k, height // f, width // f, 3 * f * f)
-        self._stack_dtype = dt
+        self._stack_dtype = jnp.dtype(model.cfg.dtype)
 
         if async_drain:
             import queue
@@ -283,31 +345,6 @@ class StreamingSession:
         self._pending = []
         host = np.asarray(jax.device_get(stacked))
         return sorted(zip(times, host), key=lambda tf: tf[0])
-
-    def _emit_plan(self, first_window: bool) -> list[tuple[int, int, int]]:
-        """(level_idx, pair_idx, local_time) to emit for this window.
-
-        Steady state emits local times {K-2, K-1} — one deblurred key + one
-        midpoint per arriving key (exactly 2x rate), each from the DEEPEST
-        level predicting that parity and from the latest window containing
-        it (max ConvLSTM history; consistent with recurrent.assembly_plan).
-        Consecutive windows advance by 2 on the output grid, so emissions
-        are contiguous and in order; the first full window back-fills times
-        1..K-3.  Latency: 2 key intervals behind the newest input.
-        """
-        levels = self.model.num_levels_total
-        times_by_level = {li: level_output_times(li + 1, self.k)
-                          for li in range(levels)}
-
-        def deepest(t):
-            for li in range(levels - 1, -1, -1):
-                if t in times_by_level[li]:
-                    return (li, times_by_level[li].index(t), t)
-            return None  # e.g. even times in an interp-only 1-level model
-
-        plan = [deepest(t) for t in range(1, self.k - 2)] if first_window else []
-        plan += [deepest(self.k - 2), deepest(self.k - 1)]
-        return [p for p in plan if p is not None]
 
     def push(self, key_frames: np.ndarray) -> list[tuple[int, jax.Array]]:
         """Feed one blurry key frame per stream: (B, H, W, 3), float in

@@ -191,3 +191,43 @@ def test_async_drain_equals_buffered(devices):
         # reset clears in-flight + ready state
         s_async.reset()
         assert s_async.poll() == [] and s_async.drain() == []
+
+
+def test_sessions_share_jitted_programs():
+    """Round-5 serving fix: the jitted session programs are cached on the
+    Model handle, so a second same-config session reuses the first one's
+    programs (when they were per-session closures, every new session paid
+    its own trace + compile-cache deserialization — the 5-10 s mid-stream
+    stalls in runs/serving_http_r5b.json).  Different (emit_u8,
+    async_drain) configs get distinct programs."""
+    model = build_model(SMALL)
+    params = model.init(jax.random.key(0), batch=1, height=32, width=32)
+
+    a = StreamingSession(model, params, batch=1, height=32, width=32,
+                         emit_u8=True, async_drain=True)
+    b = StreamingSession(model, params, batch=2, height=32, width=32,
+                         emit_u8=True, async_drain=True)  # batch differs: OK
+    assert a._step_emit is b._step_emit
+    assert a._insert is b._insert
+    assert a._finalize_jit is b._finalize_jit
+    assert a._plans is b._plans
+
+    c = StreamingSession(model, params, batch=1, height=32, width=32,
+                         emit_u8=False, async_drain=False)
+    assert c._step_emit is not a._step_emit
+
+    # a second model handle (even same config) gets its own cache
+    model2 = build_model(SMALL)
+    d = StreamingSession(model2, params, batch=1, height=32, width=32,
+                         emit_u8=True, async_drain=True)
+    assert d._step_emit is not a._step_emit
+
+    # the shared programs actually run: push through the first window
+    clip = _clip(1, 6, 32, 32)
+    for i in range(6):
+        a.push(clip[:, i])
+        c.push(clip[:, i])
+    a.flush()
+    assert len(a.drain()) > 0
+    assert len(c.flush()) > 0
+    a.close(); b.close(); c.close(); d.close()
