@@ -36,8 +36,20 @@ def load_act_scales(path: str) -> dict:
     tools/calibrate_int8.py): {conv path key -> fp32 scale}.  Cached per
     path — the scales are trace-time CONSTANTS (see int8_conv act_scale),
     so a process that rewrites the file must be a different process from
-    the one serving with it (the tools are; documented there)."""
+    the one serving with it (the tools are; documented there).
+
+    A relative path that does not resolve against the CWD is retried
+    against the repo root: BENCH_OVERRIDES.json records repo-relative
+    paths, and the bench/serve entry points may run from anywhere."""
+    import os
+
     import numpy as np
+    if not os.path.isabs(path) and not os.path.exists(path):
+        root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        candidate = os.path.join(root, path)
+        if os.path.exists(candidate):
+            path = candidate
     data = np.load(path)
     return {k: float(data[k]) for k in data.files}
 
