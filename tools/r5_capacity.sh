@@ -1,0 +1,88 @@
+#!/bin/bash
+# Round-5 final quality experiment: deeper bottleneck capacity arm.
+#
+# BASELINE.md ("Where quality saturates") records that the flagship recipe
+# is converged by ~20k steps at the CURRENT capacity — the remaining quality
+# levers are capacity/recipe changes.  The stem-4/base-256 arm (4x params at
+# the stem) already lost 0.87 dB, so this arm adds capacity where it is
+# cheap and historically stable: the bottleneck residual stack
+# (model.num_res_blocks 4 -> 8 at 512 channels, MXU-aligned), leaving the
+# stem, widths, and the entire recipe identical to the record run
+# (tools/archive/r4_flagship.sh stage 1).
+#
+# Gate (the standing promotion rule, quality direction): the arm becomes a
+# release candidate only if its pinned 256-squared EMA eval BEATS the
+# 28.5775 dB record by more than the 0.05 dB budget; otherwise it is a
+# recorded negative.  Either way the fps cost of the deeper bottleneck is
+# measured in the same session.
+set -u
+cd "$(dirname "$0")/.."
+source tools/queue_lib.sh
+queue_init runs/r5_capacity.log "${QUEUE_DEADLINE:-}"
+wait_for_tpu 3600 30 || exit 1
+
+WD=runs/r5_resblk8
+ARM="--set model.num_res_blocks=8"
+TRAIN="python train.py --preset config3_prf $ARM
+  --set data.loader=grain --set model.remat=true --set model.dtype=bfloat16
+  --set checkpoint.save_interval_steps=5000 --set checkpoint.keep_last_n=2
+  --set optim.ema_decay=0.999 --workdir $WD"
+EV="python tools/quality_eval.py --checkpoint $WD/checkpoints --preset config3_prf $ARM --set model.dtype=bfloat16"
+
+run_step_retry 3 train20k 14400 $WD/STAGE1/DONE $TRAIN --steps 20000 || exit 1
+
+run_step eval20k_256_ema 2400 $WD/quality_256_ema_20k.txt \
+  $EV --ema --json-out $WD/eval_256_ema_20k.json
+run_step eval20k_256_raw 2400 $WD/quality_256_raw_20k.txt \
+  $EV --json-out $WD/eval_256_raw_20k.json
+run_step eval20k_352x640_ema 3600 $WD/quality_352x640_ema_20k.txt \
+  $EV --ema --size 352 640 --json-out $WD/eval_352x640_ema_20k.json
+
+# fps of the deeper bottleneck under the serving default mode (same-session
+# control comes right after so the pair is comparable)
+run_step bench_arm 3600 $WD/bench_arm.json \
+  python bench.py $ARM
+run_step bench_control 3600 $WD/bench_control.json \
+  python bench.py
+
+run_step verdict 600 $WD/VERDICT.json python - <<'PY'
+import json
+RECORD = 28.5775
+BUDGET = 0.05
+wd = "runs/r5_resblk8"
+def last_json(path):
+    # run_step merges stderr into the artifact; the bench JSON is the last
+    # line that parses (the r4_lstm_int8 parser lesson: never "last line").
+    out = None
+    for line in open(path):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                out = json.loads(line)
+            except ValueError:
+                pass
+    if out is None:
+        raise SystemExit(f"no JSON line in {path}")
+    return out
+
+ev = json.load(open(f"{wd}/eval_256_ema_20k.json"))
+psnr = ev["model"]["psnr_overall"]
+arm = last_json(f"{wd}/bench_arm.json")
+ctl = last_json(f"{wd}/bench_control.json")
+verdict = {
+    "experiment": "num_res_blocks 4->8 (bottleneck capacity), flagship recipe 20k",
+    "record_psnr": RECORD,
+    "arm_psnr_256_ema": psnr,
+    "delta_db": round(psnr - RECORD, 4),
+    "release_candidate": bool(psnr > RECORD + BUDGET),
+    "fps_arm": arm["value"],
+    "fps_control_same_session": ctl["value"],
+    "fps_delta_pct": round(100 * (arm["value"] / ctl["value"] - 1), 2),
+    "rule": "release candidate only if pinned 256 EMA beats the record by > 0.05 dB",
+    "artifacts": [f"{wd}/eval_256_ema_20k.json", f"{wd}/eval_352x640_ema_20k.json",
+                   f"{wd}/bench_arm.json", f"{wd}/bench_control.json"],
+}
+print(json.dumps(verdict, indent=1))
+PY
+
+echo "=== r5_capacity chain complete $(date -u)" >> "$QUEUE_LOG"
