@@ -125,17 +125,15 @@ def wait_for_device(deadline_s: float = 1800.0, probe_timeout_s: float = 300.0):
         time.sleep(min(60.0, max(5.0, deadline_s - waited)))
 
 
-def release_quality_note() -> str:
-    """Quality note derived from the committed release card — NOT hand-written
-    (VERDICT r3 weak #2: the round-3 note cited a destroyed checkpoint).
-    Picks the weights/*.npz card with the HIGHEST psnr_overall — the quality
-    record — not the newest file: round 4's int8-QAT export briefly made a
-    side experiment (-0.26 dB, verdict flip=false) the newest card and the
-    bench note silently downgraded itself to the losing number.
+def best_pinned_release():
+    """(repo-relative path, card metadata) of the committed release with the
+    highest psnr_overall measured under the PINNED eval protocol, or None.
 
-    Only cards measured under the PINNED protocol compete (ADVICE r4): a
-    card whose headline eval ran at, say, 352x640 scores ~2 dB higher for
-    protocol reasons alone and would win on a non-comparable number."""
+    The single definition of "the quality record": release_quality_note and
+    tools/run_experiment.sh's record-floor picker both resolve through it,
+    so a card evaluated under a different protocol (e.g. 352x640, ~2 dB
+    higher for protocol reasons alone) can neither inflate the bench note
+    nor silently become every experiment's promotion gate."""
     import glob
 
     from bin_tpu.weights import read_card
@@ -156,6 +154,21 @@ def release_quality_note() -> str:
         if isinstance(psnr, float) and (
                 best is None or psnr > best[1]["psnr_overall"]):
             best = (os.path.relpath(p, repo), meta)
+    return best
+
+
+def release_quality_note() -> str:
+    """Quality note derived from the committed release card — NOT hand-written
+    (VERDICT r3 weak #2: the round-3 note cited a destroyed checkpoint).
+    Picks the weights/*.npz card with the HIGHEST psnr_overall — the quality
+    record — not the newest file: round 4's int8-QAT export briefly made a
+    side experiment (-0.26 dB, verdict flip=false) the newest card and the
+    bench note silently downgraded itself to the losing number.
+
+    Only cards measured under the PINNED protocol compete (ADVICE r4): a
+    card whose headline eval ran at, say, 352x640 scores ~2 dB higher for
+    protocol reasons alone and would win on a non-comparable number."""
+    best = best_pinned_release()
     if best is None:
         return ("no committed release carries quality provenance "
                 "(weights/*.npz cards lack psnr_overall)")
@@ -169,7 +182,17 @@ def release_quality_note() -> str:
             f"params={proto.get('params')} (from the committed model card)")
 
 
-def load_auto_overrides(path: str | None = None):
+# The default deployment ("serving") mode — bench.py's built-ins.  ONE
+# definition: tools/bench_serving_http.py and tools/run_experiment.sh's
+# effective-mode eval import it, so the three consumers cannot drift and
+# silently measure/gate a different graph than bench.py (the round-5
+# "serving re-record measured the fp32 training graph" failure class).
+SERVING_MODE = ("model.dtype=bfloat16", "model.conv_int8=true",
+                "model.conv_int8_min_cin=256")
+
+
+def load_auto_overrides(path: str | None = None,
+                        weights_path: str | None = None):
     """Measurement-gated default upgrades for unattended benches.
 
     Automated experiments (e.g. the queue8 int8-QAT fine-tune) drop
@@ -178,6 +201,13 @@ def load_auto_overrides(path: str | None = None):
     the faster mode the moment it is proven free.  Returns
     (override_strings, provenance_note | None); the note goes verbatim
     into the output JSON so the record is self-explaining.
+
+    ``weights_path``: when the caller serves SPECIFIC weights (the HTTP
+    serving bench / daemon), pass them so checkpoint-specific overrides
+    can be provenance-checked — a static int8 activation-scales sidecar
+    calibrated on one release must not silently drive another release's
+    quantized graph (the scales encode THAT checkpoint's activation
+    ranges; no quality gate ever evaluated the cross pairing).
     """
     if path is None:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
@@ -192,6 +222,22 @@ def load_auto_overrides(path: str | None = None):
             raise ValueError(f"expected an object with 'overrides', got "
                              f"{type(spec).__name__}")
         ov = spec.get("overrides", {})
+        static = ov.get("model.conv_int8_static")
+        if static and weights_path:
+            from bin_tpu.ops.quant import scales_calibrated_for
+            want = os.path.basename(str(weights_path))
+            got = scales_calibrated_for(str(static))
+            if got is None:  # pre-provenance sidecar: filename convention
+                stem = want[:-len(".npz")] if want.endswith(".npz") else want
+                got_ok = os.path.basename(str(static)) == f"{stem}.scales.npz"
+            else:
+                got_ok = got == want
+            if not got_ok:
+                log(f"dropping model.conv_int8_static={static}: calibrated "
+                    f"for {got or 'unknown'}, serving {want} — re-run "
+                    "tools/calibrate_int8.py for these weights")
+                ov = {k: v for k, v in ov.items()
+                      if k != "model.conv_int8_static"}
         strings = []
         for k, v in ov.items():
             if not isinstance(k, str) or isinstance(v, (dict, list)):
@@ -345,10 +391,11 @@ def _run(args):
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
-    overrides = [f"model.dtype={args.dtype}",
-                 # default serving mode: scoped int8 PTQ (see module
-                 # docstring); user --set entries come later and win
-                 "model.conv_int8=true", "model.conv_int8_min_cin=256"]
+    # default serving mode (SERVING_MODE: scoped int8 PTQ, see module
+    # docstring); the --dtype flag then user --set entries come later
+    # and win
+    overrides = [s for s in SERVING_MODE if not s.startswith("model.dtype=")]
+    overrides.insert(0, f"model.dtype={args.dtype}")
     if args.stem is not None:
         overrides.append(f"model.stem_factor={args.stem}")
     if args.base is not None:

@@ -20,6 +20,7 @@ Batch axis = independent streams (multi-clip streaming, BASELINE.json:11).
 
 from __future__ import annotations
 
+import threading
 from typing import Any
 
 import jax
@@ -77,8 +78,11 @@ def _build_session_programs(model: Model, emit_u8: bool, async_drain: bool):
 
     # a non-default pack impl (A/B flags) must be what serving actually
     # measures — the uint8 fast path below would otherwise silently
-    # bypass it (ADVICE r4)
-    custom_pack = bool(getattr(model.cfg, "s2d_via_conv", False))
+    # bypass it (ADVICE r4).  Compare against the DISPATCHED function, not
+    # a re-derivation of input_pack_fn's flag logic: a future pack impl
+    # flag would otherwise be bypassed for uint8 frames again.
+    from bin_tpu.ops.pixel_shuffle import space_to_depth
+    custom_pack = pack is not space_to_depth
 
     def ingest(frame: jax.Array) -> jax.Array:
         # uint8 frames (what a video decoder actually produces) are
@@ -94,7 +98,6 @@ def _build_session_programs(model: Model, emit_u8: bool, async_drain: bool):
                 # compute dtype it supports
                 return pack((frame.astype(jnp.float32) / 255.0)
                             .astype(dt), f)
-            from bin_tpu.ops.pixel_shuffle import space_to_depth
             packed = space_to_depth(frame, f)
             return (packed.astype(jnp.float32) / 255.0).astype(dt)
         return pack(frame.astype(dt), f)
@@ -143,6 +146,9 @@ def _build_session_programs(model: Model, emit_u8: bool, async_drain: bool):
     return _insert, _step_emit, jax.jit(_finalize), plans
 
 
+_session_programs_lock = threading.Lock()
+
+
 def _session_programs(model: Model, emit_u8: bool, async_drain: bool):
     """The jitted session programs, cached ON THE MODEL HANDLE.
 
@@ -155,15 +161,22 @@ def _session_programs(model: Model, emit_u8: bool, async_drain: bool):
     async_drain) makes every same-config session share one set of
     programs: the first session compiles, the rest reuse.  The cache
     lives in the Model handle's __dict__ (frozen dataclass, so via
-    object.__setattr__), tying program lifetime to the model."""
+    object.__setattr__), tying program lifetime to the model.
+
+    Built under a lock: FrameServer.create_stream runs outside the server
+    lock in a ThreadingHTTPServer, so two clients opening streams
+    concurrently on a fresh server would otherwise both miss the cache
+    and each build (and later pay first-compile for) their own program
+    set — the very duplication this cache removes."""
     key = (bool(emit_u8), bool(async_drain))
-    cache = model.__dict__.get("_stream_programs")
-    if cache is None:
-        cache = {}
-        object.__setattr__(model, "_stream_programs", cache)
-    if key not in cache:
-        cache[key] = _build_session_programs(model, *key)
-    return cache[key]
+    with _session_programs_lock:
+        cache = model.__dict__.get("_stream_programs")
+        if cache is None:
+            cache = {}
+            object.__setattr__(model, "_stream_programs", cache)
+        if key not in cache:
+            cache[key] = _build_session_programs(model, *key)
+        return cache[key]
 
 
 class StreamingSession:

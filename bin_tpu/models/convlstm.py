@@ -90,8 +90,11 @@ class ConvLSTMCell(nn.Module):
             cx = x.shape[-1]
             sx = sh = None
             if self.quant_scales is not None:
-                sx = self.quant_scales["/".join((*self.path, "gates_x"))]
-                sh = self.quant_scales["/".join((*self.path, "gates_h"))]
+                from bin_tpu.ops.quant import lookup_act_scale
+                sx = lookup_act_scale(
+                    self.quant_scales, "/".join((*self.path, "gates_x")))
+                sh = lookup_act_scale(
+                    self.quant_scales, "/".join((*self.path, "gates_h")))
             gates = (int8_conv(x.astype(self.dtype), kernel[:, :, :cx], bias,
                                act_scale=sx)
                      + int8_conv(h.astype(self.dtype), kernel[:, :, cx:],

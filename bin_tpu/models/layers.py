@@ -79,13 +79,9 @@ def _conv3x3_maybe_quant(x, features, *, strides=1, dtype, param_dtype,
     else:
         act_scale = None
         if quant_scales is not None:
-            key = "/".join((*owner.path, name))
-            if key not in quant_scales:
-                raise KeyError(
-                    f"no calibrated activation scale for conv {key!r} "
-                    f"(have {sorted(quant_scales)[:8]}...); re-run "
-                    "tools/calibrate_int8.py against this architecture")
-            act_scale = quant_scales[key]
+            from bin_tpu.ops.quant import lookup_act_scale
+            act_scale = lookup_act_scale(
+                quant_scales, "/".join((*owner.path, name)))
         out = int8_conv(x, kernel, bias, strides=(strides, strides),
                         weight_mse_clip=quant == "mse", act_scale=act_scale)
     return out.astype(dtype)

@@ -49,6 +49,12 @@ def final_unpack_via_conv(model_cfg) -> bool:
         return True
     if mode in ("false", "0", "no"):
         return False
+    if mode != "follow":
+        # A typo'd A/B pin ("ture", "off", ...) must not silently measure
+        # the follow branch — this flag exists for within-noise 1% calls.
+        raise ValueError(
+            f"model.d2s_final_via_conv={mode!r}: expected 'true', 'false', "
+            "or 'follow'")
     return bool(getattr(model_cfg, "d2s_via_conv", False))
 
 

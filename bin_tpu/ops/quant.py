@@ -27,7 +27,23 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["int8_conv", "quantize_symmetric", "fake_quant", "fake_quant_conv",
-           "load_act_scales"]
+           "load_act_scales", "lookup_act_scale", "scales_calibrated_for"]
+
+
+def lookup_act_scale(scales: dict, key: str) -> float:
+    """Strict calibrated-scale lookup with remediation context.
+
+    A missing key means the sidecar was calibrated against a DIFFERENT
+    architecture/scope than the one being traced (e.g. a deeper variant,
+    or conv_int8_lstm enabled after calibration) — failing loudly here is
+    deliberate: a silent dynamic-scale fallback would un-gate the exact
+    measurement the static-scales promotion ran (runs/r5_int8static/)."""
+    if key not in scales:
+        raise KeyError(
+            f"no calibrated activation scale for conv {key!r} "
+            f"(have {sorted(scales)[:8]}...); re-run "
+            "tools/calibrate_int8.py against this architecture/scope")
+    return scales[key]
 
 
 @functools.lru_cache(maxsize=8)
@@ -40,18 +56,38 @@ def load_act_scales(path: str) -> dict:
 
     A relative path that does not resolve against the CWD is retried
     against the repo root: BENCH_OVERRIDES.json records repo-relative
-    paths, and the bench/serve entry points may run from anywhere."""
-    import os
+    paths, and the bench/serve entry points may run from anywhere.
 
+    Dunder keys (``__calibrated_for__``, ...) are sidecar metadata, not
+    conv scales — skipped here, read via scales_calibrated_for()."""
     import numpy as np
+    data = np.load(_resolve_repo_relative(path))
+    return {k: float(data[k]) for k in data.files if not k.startswith("__")}
+
+
+def _resolve_repo_relative(path: str) -> str:
+    import os
     if not os.path.isabs(path) and not os.path.exists(path):
         root = os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
         candidate = os.path.join(root, path)
         if os.path.exists(candidate):
-            path = candidate
-    data = np.load(path)
-    return {k: float(data[k]) for k in data.files}
+            return candidate
+    return path
+
+
+def scales_calibrated_for(path: str) -> str | None:
+    """The weights basename a scales sidecar was calibrated against
+    (``__calibrated_for__`` metadata written by tools/calibrate_int8.py),
+    or None for pre-provenance sidecars / unreadable files."""
+    import numpy as np
+    try:
+        data = np.load(_resolve_repo_relative(path))
+        if "__calibrated_for__" in data.files:
+            return str(data["__calibrated_for__"])
+    except Exception:
+        pass
+    return None
 
 
 def quantize_symmetric(x: jax.Array, axis=None,

@@ -73,11 +73,16 @@ def _run_worker_pair(per_rank_args, timeout=420, attempts=2):
         if not timed_out and all(rc == 0 for rc in last_rcs):
             return logs
         # retry only the known load-flake signatures; anything else (e.g.
-        # an AssertionError inside a worker) is a real failure NOW
-        handshake_flake = timed_out or any(
+        # an AssertionError inside a worker) is a real failure NOW.  The
+        # signatures are deliberately narrow (no bare "barrier": normal
+        # coordination chatter mentions it) and an AssertionError anywhere
+        # vetoes the retry even when a flake signature also matches — a
+        # real regression wrapped in a GRPC error must not hide here.
+        assertion_failure = any("AssertionError" in log for log in logs)
+        handshake_flake = not assertion_failure and (timed_out or any(
             sig in log for log in logs
             for sig in ("DEADLINE_EXCEEDED", "UNAVAILABLE",
-                        "coordination service", "barrier"))
+                        "coordination service")))
         if not handshake_flake or attempt == attempts - 1:
             break
         print(f"worker pair attempt {attempt + 1} hit a handshake flake "

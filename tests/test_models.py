@@ -304,6 +304,10 @@ def test_d2s_final_via_conv_exact():
         dataclasses.replace(base, d2s_final_via_conv="true"))
     assert not final_unpack_via_conv(
         dataclasses.replace(base, d2s_final_via_conv="false"))
+    with pytest.raises(ValueError, match="d2s_final_via_conv"):
+        # a typo'd A/B pin must fail loudly, not silently measure "follow"
+        final_unpack_via_conv(
+            dataclasses.replace(base, d2s_final_via_conv="ture"))
 
     clip = _rand(1, 5, 32, 32, 3, seed=11)
     model_a = build_model(dataclasses.replace(base, d2s_final_via_conv="false"))

@@ -356,3 +356,36 @@ def test_int8_conv_static_scale_matches_dynamic_at_true_amax():
     np.testing.assert_array_equal(
         np.asarray(int8_conv(x, k, b)),
         np.asarray(int8_conv(x, k, b, act_scale=scale)))
+
+
+def test_lookup_act_scale_missing_key_remediation():
+    """Both consumers (backbone ConvBlock and the ConvLSTM gate convs) go
+    through ONE strict lookup whose error names the missing conv and the
+    re-calibration remediation — a sidecar calibrated against a different
+    architecture/scope must fail loudly, not fall back to dynamic scales."""
+    import pytest
+
+    from bin_tpu.ops.quant import lookup_act_scale
+
+    scales = {"level_1/enc_0/Conv_0": 0.01}
+    assert lookup_act_scale(scales, "level_1/enc_0/Conv_0") == 0.01
+    with pytest.raises(KeyError, match="calibrate_int8"):
+        lookup_act_scale(scales, "level_1/mid_4/Conv_0")
+
+
+def test_scales_sidecar_provenance_metadata(tmp_path):
+    """__calibrated_for__ metadata rides the sidecar (written by
+    tools/calibrate_int8.py), is readable via scales_calibrated_for, and is
+    SKIPPED by load_act_scales (it is not a conv scale)."""
+    from bin_tpu.ops.quant import load_act_scales, scales_calibrated_for
+
+    p = tmp_path / "rel.scales.npz"
+    np.savez(p, __calibrated_for__=np.str_("rel.npz"),
+             **{"level_1/enc_0/Conv_0": np.float32(0.02)})
+    assert scales_calibrated_for(str(p)) == "rel.npz"
+    scales = load_act_scales(str(p))
+    assert scales == {"level_1/enc_0/Conv_0": np.float32(0.02)}
+    # pre-provenance sidecar: no metadata -> None
+    q = tmp_path / "old.scales.npz"
+    np.savez(q, **{"level_1/enc_0/Conv_0": np.float32(0.02)})
+    assert scales_calibrated_for(str(q)) is None

@@ -61,19 +61,19 @@ def main() -> None:
     from bin_tpu.serving.server import FrameServer, make_http_server
 
     if args.weights:
-        from bin_tpu.benchmark import load_auto_overrides
+        from bin_tpu.benchmark import SERVING_MODE, load_auto_overrides
         from bin_tpu.config import apply_model_overrides
         from bin_tpu.weights import load_weights
         params, model_cfg, _meta = load_weights(args.weights)
         # The card stores the TRAINING config (fp32, no int8). Measure the
         # DEPLOYMENT graph instead: the same serving mode bench.py runs
-        # (scoped int8 PTQ + measurement-gated auto-overrides), with user
-        # --set entries last so any knob can still be pinned for an A/B.
-        # Round-5 lesson: without this, the serving re-record silently
-        # measured the fp32 training graph off the card.
-        serving_mode = ["model.dtype=bfloat16", "model.conv_int8=true",
-                        "model.conv_int8_min_cin=256"]
-        auto, auto_note = load_auto_overrides()
+        # (SERVING_MODE + measurement-gated auto-overrides, provenance-
+        # checked against THESE weights), with user --set entries last so
+        # any knob can still be pinned for an A/B.  Round-5 lesson:
+        # without this, the serving re-record silently measured the fp32
+        # training graph off the card.
+        serving_mode = list(SERVING_MODE)
+        auto, auto_note = load_auto_overrides(weights_path=args.weights)
         serving_mode += auto + args.overrides
         model_cfg = apply_model_overrides(model_cfg, serving_mode)
         model = build_model(model_cfg)

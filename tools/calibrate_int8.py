@@ -102,7 +102,13 @@ def main():
         key = "/".join(parts[:-1] + [parts[-1][: -len("_amax")]])
         scales[key] = np.float32(
             max(float(amax), 1e-8) * args.margin / 127.0)
-    np.savez(args.out, **scales)
+    # provenance: scales encode THIS checkpoint's activation ranges; the
+    # consumers (benchmark.load_auto_overrides) refuse to pair the sidecar
+    # with different weights
+    np.savez(args.out,
+             __calibrated_for__=np.str_(os.path.basename(
+                 str(args.checkpoint).rstrip("/"))),
+             **scales)
     print(f"wrote {args.out}: {len(scales)} conv activation scales "
           f"(margin {args.margin}, {args.clips} clips @ {h}x{w} "
           f"seed {args.seed})")

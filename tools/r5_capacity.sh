@@ -39,11 +39,16 @@ run_step eval20k_352x640_ema 3600 $WD/quality_352x640_ema_20k.txt \
   $EV --ema --size 352 640 --json-out $WD/eval_352x640_ema_20k.json
 
 # fps of the deeper bottleneck under the serving default mode (same-session
-# control comes right after so the pair is comparable)
+# control comes right after so the pair is comparable).  Both arms disable
+# the promoted static activation scales: the committed sidecar was
+# calibrated on the 4-block architecture and has no entries for
+# mid_4..mid_7, so the arm would fail the strict lookup
+# (bin_tpu/models/layers.py) — dynamic scales keep the pair comparable
+# (the static gain was +1.4% on both sides).
 run_step bench_arm 3600 $WD/bench_arm.json \
-  python bench.py $ARM
+  python bench.py $ARM --set model.conv_int8_static=
 run_step bench_control 3600 $WD/bench_control.json \
-  python bench.py
+  python bench.py --set model.conv_int8_static=
 
 run_step verdict 600 $WD/VERDICT.json python - <<'PY'
 import json

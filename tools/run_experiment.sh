@@ -57,20 +57,14 @@ mkdir -p "$WD"
 queue_init "$WD/chain.log" "${QUEUE_DEADLINE:-}"
 wait_for_tpu 1800 30 || exit 1
 
-# default release / record = the quality record (highest-psnr committed card)
+# default release / record = the quality record: the shared pinned-protocol
+# picker (benchmark.best_pinned_release) — NOT a bare max over all cards,
+# which a card evaluated at another size would win on a non-comparable
+# number and silently become every experiment's gate (ADVICE r4)
 if [ -z "$REL" ] || [ -z "$RECORD_REL" ]; then
   BEST=$(python - <<'PYEOF'
-import glob
-from bin_tpu.weights import read_card
-best = None
-for p in sorted(glob.glob("weights/*.npz")):
-    try:
-        m = read_card(p)["metadata"]
-    except Exception:
-        continue
-    if isinstance(m.get("psnr_overall"), float) and (
-            best is None or m["psnr_overall"] > best[1]):
-        best = (p, m["psnr_overall"])
+from bin_tpu.benchmark import best_pinned_release
+best = best_pinned_release()
 print(best[0] if best else "")
 PYEOF
 )
@@ -86,8 +80,8 @@ if [ "$DO_EVAL" = 1 ]; then
   # standing BENCH_OVERRIDES promotions, then this arm
   mapfile -t EVAL_SETS < <(python - "${OVERRIDES[@]}" <<'PYEOF'
 import json, os, sys
-sets = ["model.dtype=bfloat16", "model.conv_int8=true",
-        "model.conv_int8_min_cin=256"]
+from bin_tpu.benchmark import SERVING_MODE
+sets = list(SERVING_MODE)
 if os.path.exists("runs/BENCH_OVERRIDES.json"):
     ov = json.load(open("runs/BENCH_OVERRIDES.json")).get("overrides", {})
     sets += [f"{k}={v}" for k, v in ov.items()]
