@@ -85,7 +85,15 @@ wait_for_tpu() {
   local max="${1:-7200}" interval="${2:-120}" t0
   t0=$(date +%s)
   while true; do
-    timeout 600 python -c "import jax; print(jax.devices())" >> "$QUEUE_LOG" 2>&1 \
+    # Probe COMPUTE + a host fetch, not just device listing: the tunnel's
+    # wedge mode (rounds 3-5) keeps jax.devices() working while dispatch
+    # blocks indefinitely, so a listing-only probe waves a dead chip
+    # through and every queued step then burns its full timeout.
+    timeout 600 python -c "
+import jax, jax.numpy as jnp
+print(jax.devices())
+x = jnp.ones((256, 256))
+print('compute ok', float((x @ x).sum()))" >> "$QUEUE_LOG" 2>&1 \
       && { _qlog "tpu up"; return 0; }
     _qlog "tpu probe failed"
     [ $(( $(date +%s) - t0 )) -ge "$max" ] && { _qlog "tpu wait EXPIRED"; return 1; }
