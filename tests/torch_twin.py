@@ -26,7 +26,7 @@ torch.set_grad_enabled(False)
 
 def _t(x) -> torch.Tensor:
     """NHWC numpy/jax array → NCHW torch tensor."""
-    return torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2).contiguous()
+    return torch.from_numpy(np.array(x)).permute(0, 3, 1, 2).contiguous()
 
 
 def _n(x: torch.Tensor) -> np.ndarray:
@@ -36,9 +36,9 @@ def _n(x: torch.Tensor) -> np.ndarray:
 
 def _w(params: dict) -> tuple[torch.Tensor, torch.Tensor]:
     """Flax Conv param dict → (torch weight, bias)."""
-    kernel = torch.from_numpy(np.asarray(params["kernel"]))
+    kernel = torch.from_numpy(np.array(params["kernel"]))
     weight = kernel.permute(3, 2, 0, 1).contiguous()
-    bias = torch.from_numpy(np.asarray(params["bias"]))
+    bias = torch.from_numpy(np.array(params["bias"]))
     return weight, bias
 
 
