@@ -31,17 +31,19 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_worker_pair(per_rank_args, timeout=420, attempts=2):
-    """Launch the 2-process worker pair; retry once on HANDSHAKE flakes only.
+def _run_worker_pair(per_rank_args, timeout=420, attempts=3):
+    """Launch the 2-process worker pair; retry on HANDSHAKE flakes only.
 
     The coordinator handshake (jax.distributed.initialize over Gloo) has a
     fixed internal deadline, and this host has ONE CPU core — when another
     heavy process holds it (e.g. the live training chain), a rank can miss
-    the barrier and exit nonzero.  One retry converts that load flake into
-    a pass.  The retry is SCOPED to the flake's signature (a pair timeout
-    or a coordination-service error in the worker log) — an assertion-style
-    worker failure fails immediately, so an intermittent real regression
-    cannot hide behind the retry (ADVICE r4).
+    the barrier and exit nonzero.  The retries convert that load flake into
+    a pass (two retries: a 2026-08-20 run concurrent with an on-chip eval
+    chain flaked the Gloo init on two consecutive attempts, then passed in
+    isolation).  The retry is SCOPED to the flake's signature (a pair
+    timeout or a coordination/Gloo-init error in the worker log) — an
+    assertion-style worker failure fails immediately, so an intermittent
+    real regression cannot hide behind the retry (ADVICE r4).
 
     per_rank_args: list of extra argv lists, one per rank (after port/rank),
     or a callable attempt_index -> such a list (for tests whose scratch state
@@ -82,7 +84,9 @@ def _run_worker_pair(per_rank_args, timeout=420, attempts=2):
         handshake_flake = not assertion_failure and (timed_out or any(
             sig in log for log in logs
             for sig in ("DEADLINE_EXCEEDED", "UNAVAILABLE",
-                        "coordination service")))
+                        "coordination service",
+                        "Gloo context initialization failed",
+                        "Connect timeout")))
         if not handshake_flake or attempt == attempts - 1:
             break
         print(f"worker pair attempt {attempt + 1} hit a handshake flake "
